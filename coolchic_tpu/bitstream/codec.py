@@ -1,0 +1,193 @@
+"""Shared encode/decode core for one cool-chic decoder.
+
+Decode pipeline (all integer up to the synthesis):
+  header -> NN params (exp-Golomb) -> fixed-point ARM -> per-grid IFCE
+  context (int64, computed on the already-decoded coarser grids) -> native
+  wavefront range decode (C++, one call per grid) -> float upsampling +
+  synthesis + final rescale on the accelerator.
+
+Reference parity: coolchic/bitstream/component/coolchic.py:29-207.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from coolchic_tpu.bitstream import rangecoder as rc
+from coolchic_tpu.bitstream.fixedpoint import (
+    ARM_OUTPUT_SHIFT,
+    IFCE_OUTPUT_SHIFT,
+    arm_to_fixed_point,
+    fixed_point_arm_np,
+)
+from coolchic_tpu.bitstream.headers import CoolChicHeader
+from coolchic_tpu.bitstream.nncodec import decode_network
+from coolchic_tpu.core.arch import CoolChicConfig
+from coolchic_tpu.core.constants import non_zero_pixel_ctx_index
+from coolchic_tpu.core.noise import common_randomness_grids
+from coolchic_tpu.models.arm import ifce_arm_index
+from coolchic_tpu.models.synthesis import synthesis_apply
+from coolchic_tpu.models.upsampling import fixed_upsampling, upsampling_apply
+from coolchic_tpu.ops.resize import interpolate
+
+
+def _nearest_x2_int(x: np.ndarray) -> np.ndarray:
+    return np.repeat(np.repeat(x, 2, axis=-2), 2, axis=-1)
+
+
+def _fixed_upsampling_nearest_int(grids: list[np.ndarray]) -> np.ndarray:
+    """Dense [C, h, w] nearest-upsampled stack of already-decoded int grids
+    (largest grid first in `grids`)."""
+    rev = list(reversed(grids))
+    acc = rev[0][None]
+    for target in rev[1:]:
+        if acc.shape[-2:] != target.shape[-2:]:
+            x = _nearest_x2_int(acc)[:, : target.shape[-2], : target.shape[-1]]
+        else:
+            x = acc
+        acc = np.concatenate([target[None], x], axis=0)
+    return acc
+
+
+def _ifce_fixed_params(nn_params: dict, cfg: CoolChicConfig, header: CoolChicHeader,
+                       idx_latent: int) -> dict:
+    arm_idx = ifce_arm_index(cfg.input_features_ifce)[idx_latent]
+    ifce_arm = nn_params["ifce"]["arms"][arm_idx]
+    return arm_to_fixed_point(
+        ifce_arm["layers"],
+        header.nn_q_step_shift[("ifce", "weight")],
+        header.nn_q_step_shift[("ifce", "bias")],
+        stabiliser=None,
+        subtract_last_layer=False,
+        n_inter_ft_ctx=0,
+        no_residual_layer=True,
+    )
+
+
+def _ifce_context_for_grid(nn_params: dict, cfg: CoolChicConfig, header: CoolChicHeader,
+                           idx_latent: int, decoded: list[np.ndarray],
+                           h_i: int, w_i: int) -> Optional[np.ndarray]:
+    """int64 [h_i * w_i, C_f] IFCE context for the grid being (de)coded, or
+    None when the architecture has no IFCE at all."""
+    if not cfg.flag_ifce:
+        return None
+
+    if idx_latent == cfg.n_latent_grids - 1:
+        ups = np.zeros((1, h_i, w_i), dtype=np.int64)
+    else:
+        ups = _fixed_upsampling_nearest_int(decoded)
+
+    c, h, w = ups.shape
+    if cfg.input_features_ifce[idx_latent] == 0:
+        ctx = np.zeros((h * w, cfg.output_feature_ifce), dtype=np.int64)
+    else:
+        flat = ups.reshape(c, h * w).T  # [(h w), c]
+        fp = _ifce_fixed_params(nn_params, cfg, header, idx_latent)
+        ctx = fixed_point_arm_np(flat, fp, IFCE_OUTPUT_SHIFT)
+
+    ctx = ctx.T.reshape(-1, h, w)
+    ctx = _nearest_x2_int(ctx)[:, :h_i, :w_i]
+    return ctx.reshape(-1, h_i * w_i).T.copy()
+
+
+def _decoded_nn_to_jax(nn_params: dict) -> dict:
+    """Upsampling / synthesis float params -> jnp arrays in the model layout."""
+    ups = {k: [jnp.asarray(v) for v in vs] for k, vs in nn_params["upsampling"].items()}
+    syn_src = nn_params["synthesis"]
+    syn = {
+        "output_transform": {k: jnp.asarray(v) for k, v in syn_src["output_transform"].items()},
+        "layers": [{k: jnp.asarray(v) for k, v in lay.items()} for lay in syn_src["layers"]],
+    }
+    if "stabiliser" in syn_src:
+        syn["stabiliser"] = {k: jnp.asarray(v) for k, v in syn_src["stabiliser"].items()}
+    return {"upsampling": ups, "synthesis": syn}
+
+
+def synthesize(nn_params: dict, cfg: CoolChicConfig, latent_grids: list[np.ndarray]
+               ) -> np.ndarray:
+    """Float decode tail: learned upsampling + synthesis + final rescale.
+
+    latent_grids: decoded integer grids (largest first), all of them
+    (hyperlatents are filtered here). Returns [1, C_out, H, W] float32.
+    """
+    jparams = _decoded_nn_to_jax(nn_params)
+    grids = [jnp.asarray(g, dtype=jnp.float32) for g, hyper
+             in zip(latent_grids, cfg.flag_is_hyperlatent) if not hyper]
+    # The reference decoder leaves modules in train mode, so the upsampling
+    # runs its 2-D (kron) variant; mirror that for closest float parity.
+    dense = upsampling_apply(jparams["upsampling"], grids, cfg.ups_k_size,
+                             cfg.ups_preconcat_k_size, training=True)
+    syn_in = dense[None]
+    if cfg.flag_common_randomness:
+        cr = [jnp.asarray(g) for g in common_randomness_grids(list(cfg.size_per_latent_cr))]
+        ups_noise, _ = fixed_upsampling(cr, mode="bicubic")
+        ups_noise = interpolate(ups_noise, cfg.img_size, "bicubic")[None]
+        syn_in = jnp.concatenate([syn_in, ups_noise], axis=1)
+    syn_out = synthesis_apply(jparams["synthesis"], cfg, syn_in)
+    out = interpolate(syn_out, cfg.img_size, cfg.final_upsampling_type)
+    return np.asarray(out)
+
+
+def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
+                    ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Returns (raw synthesis output [1, C, H, W], decoded integer grids)."""
+    cfg = header.to_config()
+    nn_params = decode_network(bytes_nn, cfg, header.nn_q_step_shift,
+                               header.nn_expgol_cnt, header.nn_n_bit_pad)
+
+    arm_fp = arm_to_fixed_point(
+        nn_params["arm"]["layers"],
+        header.nn_q_step_shift[("arm", "weight")],
+        header.nn_q_step_shift[("arm", "bias")],
+        stabiliser=nn_params["arm"].get("stabiliser"),
+        subtract_last_layer=True,
+        n_inter_ft_ctx=cfg.output_feature_ifce,
+    )
+    ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
+
+    decoder = rc.RangeDecoder(bytes_latent)
+    decoded: list[np.ndarray] = []  # largest first
+    for idx_latent in range(cfg.n_latent_grids - 1, -1, -1):
+        h_i, w_i = cfg.size_per_latent[idx_latent]
+        ifce_ctx = _ifce_context_for_grid(nn_params, cfg, header, idx_latent, decoded, h_i, w_i)
+        grid = rc.code_grid(decoder, False, h_i, w_i, cfg.spatial_context_arm,
+                            ifce_ctx, arm_fp, ctx_idx)
+        decoded.insert(0, grid)
+
+    raw_out = synthesize(nn_params, cfg, decoded)
+    return raw_out, decoded
+
+
+def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,
+                            quantized_latents: list[np.ndarray]) -> bytes:
+    """Range-encode the quantized latent grids (coarse to fine) given the
+    already-quantized integer NN params. Returns the latent byte payload and
+    sets header.n_bytes_latent."""
+    cfg = header.to_config()
+    arm_fp = arm_to_fixed_point(
+        nn_params_int["arm"]["layers"],
+        header.nn_q_step_shift[("arm", "weight")],
+        header.nn_q_step_shift[("arm", "bias")],
+        stabiliser=nn_params_int["arm"].get("stabiliser"),
+        subtract_last_layer=True,
+        n_inter_ft_ctx=cfg.output_feature_ifce,
+    )
+    ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
+
+    encoder = rc.RangeEncoder()
+    coded: list[np.ndarray] = []
+    for idx_latent in range(cfg.n_latent_grids - 1, -1, -1):
+        h_i, w_i = cfg.size_per_latent[idx_latent]
+        ifce_ctx = _ifce_context_for_grid(nn_params_int, cfg, header, idx_latent, coded,
+                                          h_i, w_i)
+        data = np.ascontiguousarray(quantized_latents[idx_latent], dtype=np.int64)
+        out = rc.code_grid(encoder, True, h_i, w_i, cfg.spatial_context_arm,
+                           ifce_ctx, arm_fp, ctx_idx, data=data)
+        coded.insert(0, out)
+
+    payload = encoder.get_bytes()
+    header.n_bytes_latent = len(payload)
+    return payload

@@ -1,0 +1,109 @@
+"""Frame / video level bitstream decoding.
+
+Reference parity: coolchic/bitstream/decode.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from coolchic_tpu.bitstream.codec import decode_coolchic
+from coolchic_tpu.bitstream.headers import CoolChicHeader, FrameHeader, VideoHeader
+from coolchic_tpu.io.framedata import FrameData
+from coolchic_tpu.io.yuv import convert_420_to_444, convert_444_to_420, yuv_dict_clamp
+from coolchic_tpu.utils.codingstructure import CodingStructure
+
+
+def decode_frame(bitstream: bytes, reference_frames: list[FrameData] | None = None,
+                 ) -> tuple[FrameData, bytes]:
+    frame_header, bitstream = FrameHeader.read(bitstream)
+    frame_type = frame_header.frame_type
+    bitdepth = frame_header.bitdepth
+    frame_data_type = frame_header.frame_data_type
+
+    cc_names = ["residue"] + (["motion"] if frame_type in ("P", "B") else [])
+    cc_out = {}
+    for name in cc_names:
+        cc_header, bitstream = CoolChicHeader.read(bitstream)
+        bytes_nn = bitstream[:cc_header.nn_n_bytes]
+        bitstream = bitstream[cc_header.nn_n_bytes:]
+        bytes_latent = bitstream[:cc_header.n_bytes_latent]
+        bitstream = bitstream[cc_header.n_bytes_latent:]
+        raw_out, _ = decode_coolchic(cc_header, bytes_nn, bytes_latent)
+        cc_out[name] = raw_out
+
+    if frame_type == "I":
+        decoded = cc_out["residue"]
+    else:
+        from coolchic_tpu.models.warp import apply_global_translation, warp_fn
+
+        if frame_data_type == "yuv420":
+            raw_refs = [convert_420_to_444(r.data) for r in reference_frames]
+        else:
+            raw_refs = [np.asarray(r.data) for r in reference_frames]
+        flows = np.asarray(frame_header.global_flow, dtype=np.float32)
+        global_flows = [flows[2 * i:2 * i + 2].reshape(1, 2, 1, 1)
+                        for i in range(frame_header.n_refs)]
+        shifted = apply_global_translation(raw_refs, global_flows)
+
+        residue = cc_out["residue"][:, :3]
+        alpha = np.clip(cc_out["residue"][:, 3:4] + 0.5, 0.0, 1.0)
+        flow_1 = cc_out["motion"][:, 0:2]
+        fsize = frame_header.warp_filter_size
+        if frame_type == "P":
+            pred = warp_fn(shifted[0], flow_1, fsize)
+        else:
+            flow_2 = cc_out["motion"][:, 2:4]
+            beta = np.clip(cc_out["residue"][:, 4:5] + 0.5, 0.0, 1.0)
+            pred = beta * warp_fn(shifted[0], flow_1, fsize) \
+                + (1 - beta) * warp_fn(shifted[1], flow_2, fsize)
+        decoded = alpha * pred + residue
+
+    max_dyn = 2**bitdepth - 1
+    decoded = np.round(max_dyn * decoded) / max_dyn
+
+    if frame_data_type == "yuv420":
+        decoded = yuv_dict_clamp(convert_444_to_420(decoded), 0.0, 1.0)
+        decoded = {k: np.round(v * max_dyn) / max_dyn for k, v in decoded.items()}
+    else:
+        decoded = np.clip(decoded, 0.0, 1.0)
+        decoded = np.round(decoded * max_dyn) / max_dyn
+
+    return FrameData(bitdepth=bitdepth, frame_data_type=frame_data_type, data=decoded), bitstream
+
+
+def decode_video(bitstream_path: str, decoded_path: Optional[str] = None,
+                 max_decoding_order: int = -1, verbosity: int = 0) -> dict[str, FrameData]:
+    with open(bitstream_path, "rb") as f:
+        bitstream = f.read()
+
+    video_header, bitstream = VideoHeader.read(bitstream)
+    coding_structure = CodingStructure(
+        n_frames=video_header.n_frames,
+        intra_pos=list(video_header.intra_pos),
+        p_pos=list(video_header.p_pos),
+    )
+
+    if max_decoding_order == -1:
+        max_decoding_order = coding_structure.get_max_coding_order()
+
+    for coding_idx in range(max_decoding_order + 1):
+        frame = coding_structure.get_frame_from_coding_order(coding_idx)
+        refs = [coding_structure.get_frame_from_display_order(i).data
+                for i in frame.index_references]
+        frame_data, bitstream = decode_frame(bitstream, refs)
+        frame.data = frame_data
+
+    all_frames: dict[str, FrameData] = {}
+    for display_idx in range(coding_structure.get_max_display_order() + 1):
+        frame = coding_structure.get_frame_from_display_order(display_idx)
+        if frame.data is None:
+            continue
+        all_frames[str(display_idx)] = frame.data
+        if decoded_path is not None:
+            from coolchic_tpu.io.io import save_frame_data_to_file
+
+            save_frame_data_to_file(frame.data, decoded_path, append=display_idx != 0)
+    return all_frames

@@ -1,0 +1,84 @@
+"""Convolutional synthesis transform.
+
+Small conv stack parsed from "<out>-<k>-<linear|residual>-<none|relu>" layer
+specs, with replicate padding, an optional 1x1 linear stabiliser branch over
+the non-common-randomness half of the input, and a frozen 1x1 output
+transform (identity, or a per-channel (min, max) affine for YUV content).
+
+Reference parity: coolchic/component/core/synthesis.py:18-370.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from coolchic_tpu.core.arch import CoolChicConfig
+from coolchic_tpu.ops.convs import conv2d_replicate
+
+
+def _conv_init(key: jax.Array, in_ft: int, out_ft: int, k: int, residual: bool) -> dict:
+    if residual:
+        w = jnp.zeros((out_ft, in_ft, k, k), dtype=jnp.float32)
+    else:
+        sqrt_k = math.sqrt(1.0 / (in_ft * k * k))
+        w = (jax.random.uniform(key, (out_ft, in_ft, k, k), dtype=jnp.float32) - 0.5) \
+            * 2.0 * sqrt_k / out_ft**2
+    return {"weight": w, "bias": jnp.zeros((out_ft,), dtype=jnp.float32)}
+
+
+def output_transform_init(out_ft: int, img_min_max: jnp.ndarray | None = None) -> dict:
+    """Identity 1x1 conv, or diag(max-min) + min when image stats are given."""
+    if img_min_max is None:
+        w = jnp.eye(out_ft, dtype=jnp.float32).reshape(out_ft, out_ft, 1, 1)
+        b = jnp.zeros((out_ft,), dtype=jnp.float32)
+    else:
+        mn, mx = img_min_max[:, 0], img_min_max[:, 1]
+        w = jnp.diag(mx - mn).reshape(out_ft, out_ft, 1, 1).astype(jnp.float32)
+        b = mn.astype(jnp.float32)
+    return {"weight": w, "bias": b}
+
+
+def synthesis_init(key: jax.Array, cfg: CoolChicConfig,
+                   img_min_max: jnp.ndarray | None = None) -> dict:
+    input_ft = cfg.input_feature_synthesis
+    out_ft_final = cfg.synthesis_out_ft
+
+    params: dict = {"output_transform": output_transform_init(out_ft_final, img_min_max)}
+
+    if cfg.linear_stabiliser_synth:
+        n_in_stab = input_ft // 2 if cfg.flag_common_randomness else input_ft
+        key, sub = jax.random.split(key)
+        params["stabiliser"] = _conv_init(sub, n_in_stab, out_ft_final, 1, residual=False)
+
+    layers = []
+    in_ft = input_ft
+    for out_ft, k, mode, _ in cfg.parsed_synthesis:
+        key, sub = jax.random.split(key)
+        layers.append(_conv_init(sub, in_ft, out_ft, k, residual=(mode == "residual")))
+        in_ft = out_ft
+    params["layers"] = layers
+    return params
+
+
+def synthesis_apply(params: dict, cfg: CoolChicConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """[1, C_in, H, W] -> [1, C_out, H, W]."""
+    y = x
+    for lay, (out_ft, k, mode, non_linearity) in zip(params["layers"], cfg.parsed_synthesis):
+        z = conv2d_replicate(y, lay["weight"], lay["bias"], padding=(k - 1) // 2)
+        if mode == "residual":
+            z = z + y
+        if non_linearity == "relu":
+            z = jax.nn.relu(z)
+        y = z
+
+    if "stabiliser" in params:
+        n_in_stab = params["stabiliser"]["weight"].shape[1]
+        stab = conv2d_replicate(x[:, :n_in_stab], params["stabiliser"]["weight"],
+                                params["stabiliser"]["bias"], padding=0)
+        y = y + stab
+
+    ot = params["output_transform"]
+    return conv2d_replicate(y, ot["weight"], ot["bias"], padding=0)

@@ -18,10 +18,8 @@ import numpy as np
 
 from coolchic_tpu.bitstream import rangecoder as rc
 from coolchic_tpu.bitstream.fixedpoint import (
-    ARM_OUTPUT_SHIFT,
     IFCE_OUTPUT_SHIFT,
     arm_to_fixed_point,
-    fixed_point_arm_np,
 )
 from coolchic_tpu.bitstream.headers import CoolChicHeader
 from coolchic_tpu.bitstream.nncodec import decode_network
@@ -86,7 +84,7 @@ def _ifce_context_for_grid(nn_params: dict, cfg: CoolChicConfig, header: CoolChi
     else:
         flat = ups.reshape(c, h * w).T  # [(h w), c]
         fp = _ifce_fixed_params(nn_params, cfg, header, idx_latent)
-        ctx = fixed_point_arm_np(flat, fp, IFCE_OUTPUT_SHIFT)
+        ctx = rc.arm_forward_native(flat, fp, IFCE_OUTPUT_SHIFT)
 
     ctx = ctx.T.reshape(-1, h, w)
     ctx = _nearest_x2_int(ctx)[:, :h_i, :w_i]
@@ -106,6 +104,30 @@ def _decoded_nn_to_jax(nn_params: dict) -> dict:
     return {"upsampling": ups, "synthesis": syn}
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _synthesize_fn(cfg: CoolChicConfig):
+    import jax
+
+    def fn(jparams, grids, cr):
+        # The reference decoder leaves modules in train mode, so the
+        # upsampling runs its 2-D (kron) variant; mirror that for closest
+        # float parity.
+        dense = upsampling_apply(jparams["upsampling"], list(grids), cfg.ups_k_size,
+                                 cfg.ups_preconcat_k_size, training=True)
+        syn_in = dense[None]
+        if cfg.flag_common_randomness:
+            ups_noise, _ = fixed_upsampling(list(cr), mode="bicubic")
+            ups_noise = interpolate(ups_noise, cfg.img_size, "bicubic")[None]
+            syn_in = jnp.concatenate([syn_in, ups_noise], axis=1)
+        syn_out = synthesis_apply(jparams["synthesis"], cfg, syn_in)
+        return interpolate(syn_out, cfg.img_size, cfg.final_upsampling_type)
+
+    return jax.jit(fn)
+
+
 def synthesize(nn_params: dict, cfg: CoolChicConfig, latent_grids: list[np.ndarray]
                ) -> np.ndarray:
     """Float decode tail: learned upsampling + synthesis + final rescale.
@@ -114,21 +136,13 @@ def synthesize(nn_params: dict, cfg: CoolChicConfig, latent_grids: list[np.ndarr
     (hyperlatents are filtered here). Returns [1, C_out, H, W] float32.
     """
     jparams = _decoded_nn_to_jax(nn_params)
-    grids = [jnp.asarray(g, dtype=jnp.float32) for g, hyper
-             in zip(latent_grids, cfg.flag_is_hyperlatent) if not hyper]
-    # The reference decoder leaves modules in train mode, so the upsampling
-    # runs its 2-D (kron) variant; mirror that for closest float parity.
-    dense = upsampling_apply(jparams["upsampling"], grids, cfg.ups_k_size,
-                             cfg.ups_preconcat_k_size, training=True)
-    syn_in = dense[None]
+    grids = tuple(jnp.asarray(g, dtype=jnp.float32) for g, hyper
+                  in zip(latent_grids, cfg.flag_is_hyperlatent) if not hyper)
     if cfg.flag_common_randomness:
-        cr = [jnp.asarray(g) for g in common_randomness_grids(list(cfg.size_per_latent_cr))]
-        ups_noise, _ = fixed_upsampling(cr, mode="bicubic")
-        ups_noise = interpolate(ups_noise, cfg.img_size, "bicubic")[None]
-        syn_in = jnp.concatenate([syn_in, ups_noise], axis=1)
-    syn_out = synthesis_apply(jparams["synthesis"], cfg, syn_in)
-    out = interpolate(syn_out, cfg.img_size, cfg.final_upsampling_type)
-    return np.asarray(out)
+        cr = tuple(jnp.asarray(g) for g in common_randomness_grids(list(cfg.size_per_latent_cr)))
+    else:
+        cr = ()
+    return np.asarray(_synthesize_fn(cfg)(jparams, grids, cr))
 
 
 def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes

@@ -58,6 +58,9 @@ def _load() -> ctypes.CDLL:
     lib.rc_code_grid.argtypes = [p, ctypes.c_int32] + [ctypes.c_int32] * 4 + [p] \
         + [ctypes.c_int32] + [p] * 5
     lib.rc_code_grid.restype = ctypes.c_int32
+    lib.rc_arm_forward.argtypes = [p, i64, ctypes.c_int32, ctypes.c_int32,
+                                   p, p, p, p, ctypes.c_int32, ctypes.c_int32, p]
+    lib.rc_arm_forward.restype = ctypes.c_int32
     return lib
 
 
@@ -150,6 +153,28 @@ class RangeDecoder:
         if getattr(self, "_h", None):
             self._lib.rc_dec_free(self._h)
             self._h = None
+
+
+def arm_forward_native(x: np.ndarray, arm_fp: dict, output_shift: int) -> np.ndarray:
+    """Batched fixed-point ARM forward in C++ (int64 matmuls are slow in
+    numpy). x: [B, C] int64 raw contexts -> [B, n_out] int64."""
+    lib = get_lib()
+    x = np.ascontiguousarray(x, dtype=np.int64)
+    n, dim = x.shape
+    n_out = arm_fp["stab_weight"].shape[1]
+    weights = np.concatenate([np.ascontiguousarray(wi, dtype=np.int64).reshape(-1)
+                              for wi in arm_fp["trunk_weights"]])
+    biases = np.concatenate([np.ascontiguousarray(bi, dtype=np.int64).reshape(-1)
+                             for bi in arm_fp["trunk_biases"]])
+    stab_w = np.ascontiguousarray(arm_fp["stab_weight"], dtype=np.int64)
+    stab_b = np.ascontiguousarray(arm_fp["stab_bias"], dtype=np.int64)
+    out = np.empty((n, n_out), dtype=np.int64)
+    err = lib.rc_arm_forward(_ptr(x), n, dim, len(arm_fp["trunk_weights"]),
+                             _ptr(weights), _ptr(biases), _ptr(stab_w), _ptr(stab_b),
+                             n_out, output_shift, _ptr(out))
+    if err != 0:
+        raise RuntimeError(f"rc_arm_forward failed with error {err}")
+    return out
 
 
 def code_grid(coder, is_encode: bool, h: int, w: int, n_spatial_ctx: int,

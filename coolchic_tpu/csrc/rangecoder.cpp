@@ -169,25 +169,27 @@ constexpr int64_t LOG_SCALE_MIN_FP = int64_t(-5) * 256;  // -5 << 8
 
 struct ArmFixedPoint {
     int dim = 0;          // total context count C
+    int n_out = 2;        // outputs of the last layer (2 for ARM, C_f for IFCE)
     int n_trunk = 0;      // number of trunk linear layers (n_hidden + 1)
     // weights[l]: [in, out] row-major (pre-transposed, x @ W convention).
     std::vector<std::vector<int64_t>> weights;
     std::vector<std::vector<int64_t>> biases;   // [out]
-    std::vector<int64_t> stab_w;                // [dim, 2]
-    std::vector<int64_t> stab_b;                // [2]
+    std::vector<int64_t> stab_w;                // [dim, n_out]
+    std::vector<int64_t> stab_b;                // [n_out]
 
     // ctx: [dim] raw integer contexts (spatial already plain ints, IFCE
-    // columns pre-scaled by 2^8 handled in the weights). Returns (mu_fp,
-    // log_scale_fp) after the output shift.
-    inline void forward(const int64_t* ctx, int64_t* out2) const {
+    // columns pre-scaled by 2^8 handled in the weights).
+    inline void forward(const int64_t* ctx, int64_t* out, int output_shift) const {
         int64_t x[64];
         int64_t y[64];
         for (int i = 0; i < dim; ++i) x[i] = ctx[i] << WEIGHT_SHIFT;
 
-        int64_t stab0 = stab_b[0], stab1 = stab_b[1];
+        int64_t stab[64];
+        for (int o = 0; o < n_out; ++o) stab[o] = stab_b[o];
         for (int i = 0; i < dim; ++i) {
-            stab0 += x[i] * stab_w[size_t(i) * 2 + 0];
-            stab1 += x[i] * stab_w[size_t(i) * 2 + 1];
+            int64_t xi = x[i];
+            const int64_t* srow = stab_w.data() + size_t(i) * n_out;
+            for (int o = 0; o < n_out; ++o) stab[o] += xi * srow[o];
         }
 
         for (int l = 0; l < n_trunk - 1; ++l) {
@@ -207,15 +209,13 @@ struct ArmFixedPoint {
 
         const int64_t* w = weights[size_t(n_trunk - 1)].data();
         const int64_t* b = biases[size_t(n_trunk - 1)].data();
-        int64_t o0 = b[0], o1 = b[1];
+        for (int o = 0; o < n_out; ++o) y[o] = b[o] + stab[o];
         for (int i = 0; i < dim; ++i) {
-            o0 += x[i] * w[size_t(i) * 2 + 0];
-            o1 += x[i] * w[size_t(i) * 2 + 1];
+            int64_t xi = x[i];
+            const int64_t* wrow = w + size_t(i) * n_out;
+            for (int o = 0; o < n_out; ++o) y[o] += xi * wrow[o];
         }
-        o0 += stab0;
-        o1 += stab1;
-        out2[0] = o0 >> OUTPUT_SHIFT;
-        out2[1] = o1 >> OUTPUT_SHIFT;
+        for (int o = 0; o < n_out; ++o) out[o] = y[o] >> output_shift;
     }
 };
 
@@ -332,23 +332,41 @@ void rc_dec_decode_idx(void* d, const int64_t* idx_mu, const int64_t* idx_sc, in
 //       decode -> int64[h * w] output buffer.
 //
 // Returns 0 on success.
-static void build_arm(ArmFixedPoint& arm, int dim, int n_trunk, const int64_t* weights,
-                      const int64_t* biases, const int64_t* stab_w, const int64_t* stab_b) {
+static void build_arm(ArmFixedPoint& arm, int dim, int n_out, int n_trunk,
+                      const int64_t* weights, const int64_t* biases,
+                      const int64_t* stab_w, const int64_t* stab_b) {
     arm.dim = dim;
+    arm.n_out = n_out;
     arm.n_trunk = n_trunk;
     arm.weights.resize(size_t(n_trunk));
     arm.biases.resize(size_t(n_trunk));
     const int64_t* wp = weights;
     const int64_t* bp = biases;
     for (int l = 0; l < n_trunk; ++l) {
-        int out = (l == n_trunk - 1) ? 2 : dim;
+        int out = (l == n_trunk - 1) ? n_out : dim;
         arm.weights[size_t(l)].assign(wp, wp + size_t(dim) * out);
         wp += size_t(dim) * out;
         arm.biases[size_t(l)].assign(bp, bp + out);
         bp += out;
     }
-    arm.stab_w.assign(stab_w, stab_w + size_t(dim) * 2);
-    arm.stab_b.assign(stab_b, stab_b + 2);
+    arm.stab_w.assign(stab_w, stab_w + size_t(dim) * n_out);
+    arm.stab_b.assign(stab_b, stab_b + n_out);
+}
+
+// Batched fixed-point ARM forward (used for the IFCE context computation,
+// where numpy's int64 matmul has no fast path).
+int32_t rc_arm_forward(const int64_t* x, int64_t n, int32_t n_spatial_plus_ifce,
+                       int32_t n_trunk, const int64_t* weights, const int64_t* biases,
+                       const int64_t* stab_w, const int64_t* stab_b,
+                       int32_t n_out, int32_t output_shift, int64_t* out) {
+    int dim = n_spatial_plus_ifce;
+    if (dim > 64 || n_out > 64) return -1;
+    ArmFixedPoint arm;
+    build_arm(arm, dim, n_out, n_trunk, weights, biases, stab_w, stab_b);
+    for (int64_t i = 0; i < n; ++i) {
+        arm.forward(x + size_t(i) * dim, out + size_t(i) * n_out, output_shift);
+    }
+    return 0;
 }
 
 int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
@@ -361,7 +379,7 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
     if (dim > 64) return -1;
 
     ArmFixedPoint arm;
-    build_arm(arm, dim, n_trunk, weights, biases, stab_w, stab_b);
+    build_arm(arm, dim, 2, n_trunk, weights, biases, stab_w, stab_b);
 
     int w_pad = w + 2 * PAD;
     int h_pad = h + 2 * PAD;
@@ -391,7 +409,7 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
             for (int k = 0; k < n_ifce_ctx; ++k) ctx[n_spatial_ctx + k] = row[k];
         }
         int64_t out2[2];
-        arm.forward(ctx, out2);
+        arm.forward(ctx, out2, OUTPUT_SHIFT);
         double mu, sc;
         lookup(out2[0] - MU_MIN_FP, out2[1] - LOG_SCALE_MIN_FP, &mu, &sc);
 

@@ -1,0 +1,226 @@
+"""The overfitting training loop (the "encoder").
+
+TPU-first structure: the inner loop over `freq_valid` iterations is one
+jitted `lax.scan` (forward, backward, gradient clip, SOAP/Adam update), so a
+whole validation window runs on-device with zero host round-trips. The host
+only sees one eval per window and runs the patience / best-snapshot / cosine
+LR logic there (snapshots are free thanks to immutable arrays).
+
+Reference parity: coolchic/training/train.py (per-group optimizers, cosine
+LR stepping once per validation, linear temperature & noise schedules,
+patience that reloads the best model when schedule_lr is on).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, replace
+from functools import lru_cache
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from coolchic_tpu.models.frame import FrameConfig, frame_encoder_forward
+from coolchic_tpu.train.loss import LossOutput, dist_to_db, loss_function
+from coolchic_tpu.train.params import FROZEN, LATENT, WEIGHT, group_tree
+from coolchic_tpu.train.presets import TrainerPhase
+from coolchic_tpu.train.soap import SoapHyperParams, soap_init_leaf, soap_update_leaf
+
+ETA_MIN = 1e-5
+
+
+def linear_schedule(initial_final: tuple[float, float], cur_itr: float, max_itr: float) -> float:
+    initial, final = initial_final
+    return cur_itr * (final - initial) / max_itr + initial
+
+
+def cosine_lr(lr0: float, t: int, t_max: float) -> float:
+    if t_max <= 0:
+        return lr0
+    return ETA_MIN + (lr0 - ETA_MIN) * (1 + math.cos(math.pi * t / t_max)) / 2
+
+
+class EncoderLogs(NamedTuple):
+    loss: float
+    dist: float
+    psnr_db: float
+    total_rate_latent_bpp: float
+    rate_bpp: float
+
+
+@dataclass
+class EncoderMonitor:
+    total_training_time_sec: float = 0.0
+    iterations_counter: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Jitted building blocks (cached per (fcfg, phase knobs)).
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=64)
+def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
+              dist_weight: tuple, lmbda: float,
+              betas_model: tuple, betas_latent: tuple,
+              precondition_frequency_model: int, freq_valid: int, has_refs: bool):
+    dist_weight_d = dict(dist_weight)
+
+    hp_weight = SoapHyperParams(
+        b1=betas_model[0], b2=betas_model[1], weight_decay=0.01,
+        precondition_frequency=precondition_frequency_model, max_precond_dim=256)
+    hp_latent = SoapHyperParams(
+        b1=betas_latent[0], b2=betas_latent[1], weight_decay=0.0,
+        precondition_frequency=1, max_precond_dim=0)
+
+    def loss_of(params, key, temp, noise, target, refs, cr):
+        out = frame_encoder_forward(
+            params, fcfg, reference_frames=refs, key=key,
+            quantizer_noise_type=quantizer_noise_type, quantizer_type=quantizer_type,
+            soft_round_temperature=temp, noise_parameter=noise, training=True, cr=cr)
+        lo = loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda)
+        return lo.loss
+
+    grad_fn = jax.grad(loss_of)
+
+    def one_step(carry, _):
+        params, opt_state, key, lr, temp, noise, target, refs, cr = carry
+        key, sub = jax.random.split(key)
+        grads = grad_fn(params, sub, temp, noise, target, refs, cr)
+
+        leaves_p, treedef = jax.tree_util.tree_flatten(params)
+        groups = group_tree(params)
+        leaves_g = treedef.flatten_up_to(grads)
+        leaves_s = treedef.flatten_up_to(opt_state)
+
+        # Global-norm clip of the WEIGHT group at 0.1 (reference train.py:228).
+        sq = sum(jnp.sum(jnp.square(g)) for g, grp in zip(leaves_g, groups) if grp == WEIGHT)
+        norm = jnp.sqrt(sq)
+        clip = jnp.minimum(1.0, 0.1 / (norm + 1e-6))
+        new_p, new_s = [], []
+        for p, g, s, grp in zip(leaves_p, leaves_g, leaves_s, groups):
+            if grp == FROZEN or s is None:
+                new_p.append(p)
+                new_s.append(s)
+                continue
+            if grp == WEIGHT:
+                p2, s2 = soap_update_leaf(g * clip, s, p, lr, hp_weight)
+            else:
+                p2, s2 = soap_update_leaf(g, s, p, lr, hp_latent)
+            new_p.append(p2)
+            new_s.append(s2)
+        params = jax.tree_util.tree_unflatten(treedef, new_p)
+        opt_state = jax.tree_util.tree_unflatten(treedef, new_s)
+        return (params, opt_state, key, lr, temp, noise, target, refs, cr), None
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="length")
+    def train_window(params, opt_state, key, lr, temp, noise, target, refs, cr,
+                     length=freq_valid):
+        carry = (params, opt_state, key, lr, temp, noise, target, refs, cr)
+        carry, _ = jax.lax.scan(one_step, carry, None, length=length)
+        return carry[0], carry[1], carry[2]
+
+    @jax.jit
+    def eval_fn(params, target, refs, cr):
+        out = frame_encoder_forward(params, fcfg, reference_frames=refs,
+                                    training=False, cr=cr)
+        return loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda)
+
+    return train_window, eval_fn, hp_weight, hp_latent
+
+
+def init_opt_state(params, hp_weight: SoapHyperParams, hp_latent: SoapHyperParams):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    groups = group_tree(params)
+    states = []
+    for p, grp in zip(leaves, groups):
+        if grp == FROZEN:
+            states.append(None)
+        elif grp == WEIGHT:
+            states.append(soap_init_leaf(p, hp_weight))
+        else:
+            states.append(soap_init_leaf(p, hp_latent))
+    return jax.tree_util.tree_unflatten(treedef, states)
+
+
+def logs_from_loss(lo: LossOutput) -> EncoderLogs:
+    return EncoderLogs(
+        loss=float(lo.loss), dist=float(lo.dist), psnr_db=dist_to_db(float(lo.mse)),
+        total_rate_latent_bpp=float(lo.total_rate_latent_bpp), rate_bpp=float(lo.rate_bpp))
+
+
+def test(params, fcfg: FrameConfig, target, refs=None, cr=None,
+         dist_weight: Optional[Dict[str, float]] = None, lmbda: float = 1e-3) -> EncoderLogs:
+    dist_weight = dist_weight or {"mse": 1.0}
+    _, eval_fn, _, _ = _make_fns(
+        fcfg, "none", "hardround", tuple(sorted(dist_weight.items())), lmbda,
+        (0.95, 0.95), (0.9, 0.999), 10, 1, refs is not None)
+    return logs_from_loss(eval_fn(params, target, refs, cr))
+
+
+def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
+          refs=None, cr=None, key: Optional[jax.Array] = None,
+          monitor: Optional[EncoderMonitor] = None, verbose: bool = False) -> dict:
+    """Run one training phase; returns the best parameters found."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    monitor = monitor or EncoderMonitor()
+    start_time = time.time()
+
+    train_window, eval_fn, hp_w, hp_l = _make_fns(
+        fcfg, phase.quantizer_noise_type, phase.quantizer_type,
+        tuple(sorted(phase.dist_weight.items())), phase.lmbda,
+        tuple(phase.betas_model), tuple(phase.betas_latent),
+        phase.precondition_frequency_model, phase.freq_valid, refs is not None)
+
+    opt_state = init_opt_state(params, hp_w, hp_l)
+
+    best = logs_from_loss(eval_fn(params, target, refs, cr))
+    initial = best
+    best_params = params
+
+    n_windows = math.ceil(phase.max_itr / phase.freq_valid)
+    t_max = phase.max_itr / phase.freq_valid
+    patience_windows = max(phase.patience // phase.freq_valid, 1)
+
+    cnt = 0
+    windows_since_record = 0
+    for w_idx in range(n_windows):
+        if windows_since_record > patience_windows:
+            if phase.schedule_lr:
+                params = best_params
+                windows_since_record = 0
+            else:
+                break
+
+        lr = cosine_lr(phase.lr, w_idx, t_max) if phase.schedule_lr else phase.lr
+        temp = linear_schedule(phase.softround_temperature, cnt, phase.max_itr)
+        noise = linear_schedule(phase.noise_parameter, cnt, phase.max_itr)
+
+        n_steps = min(phase.freq_valid, phase.max_itr - cnt)
+        params, opt_state, key = train_window(
+            params, opt_state, key, jnp.float32(lr), jnp.float32(temp),
+            jnp.float32(noise), target, refs, cr, length=n_steps)
+        cnt += n_steps
+        monitor.iterations_counter += n_steps
+
+        logs = logs_from_loss(eval_fn(params, target, refs, cr))
+        if logs.loss < best.loss:
+            best = logs
+            best_params = params
+            windows_since_record = 0
+        else:
+            windows_since_record += 1
+
+        if verbose:
+            print(f"  itr {cnt:>6} loss {logs.loss * 1e3:9.4f} "
+                  f"psnr {logs.psnr_db:7.3f} bpp {logs.total_rate_latent_bpp:7.4f} "
+                  f"lr {lr:.5f} temp {temp:.3f} noise {noise:.3f}"
+                  + ("  *" if logs.loss == best.loss else ""), flush=True)
+
+    monitor.total_training_time_sec += time.time() - start_time
+    if verbose:
+        print(f"  phase done: loss {initial.loss * 1e3:.4f} -> {best.loss * 1e3:.4f} "
+              f"({best.psnr_db:.3f} dB, {best.total_rate_latent_bpp:.4f} bpp)", flush=True)
+    return best_params

@@ -1,0 +1,73 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Round-1 metric: overfitting-encoder training throughput (iterations/s) on
+the hop intra configuration at 512x768 (Kodak-sized) -- the encode hot loop
+where >95% of Cool-Chic encode wall-clock goes.
+
+Baseline: the reference PyTorch implementation (same architecture, same
+forward/backward/optimizer step) measured on this host's CPU (2 threads):
+0.51 it/s (see BASELINE_NOTES below). The north star is >=10x.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Reference coolchic (torch 2.13 CPU, 2 threads, this host), hop 512x768,
+# full forward/backward/Adam step of the training loop: 1978 ms/iter.
+BASELINE_REF_CPU_IT_PER_SEC = 0.51
+
+N_WARMUP_WINDOWS = 2
+N_TIMED_ITERS = 200
+
+
+def main():
+    from coolchic_tpu.models.frame import FrameConfig, frame_encoder_init
+    from coolchic_tpu.train.presets import TrainerPhase
+    from coolchic_tpu.train.train import _make_fns, init_opt_state
+    from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
+
+    img_size = (512, 768)
+    cfgs = {"residue": coolchic_config_from_args(INTRA_OPERATING_POINTS["hop"], img_size)}
+    fcfg = FrameConfig(coolchic_cfg=cfgs)
+    phase = TrainerPhase(lmbda=1e-3, max_itr=N_TIMED_ITERS, freq_valid=N_TIMED_ITERS,
+                         quantizer_noise_type="gaussian", quantizer_type="softround")
+
+    key = jax.random.PRNGKey(0)
+    params = frame_encoder_init(key, fcfg)
+    target = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, *img_size), dtype=jnp.float32)
+
+    train_window, eval_fn, hp_w, hp_l, _ = _make_fns(
+        fcfg, phase.quantizer_noise_type, phase.quantizer_type,
+        tuple(sorted(phase.dist_weight.items())), phase.lmbda,
+        tuple(phase.betas_model), tuple(phase.betas_latent),
+        phase.precondition_frequency_model, phase.freq_valid, False)
+    opt_state = init_opt_state(params, hp_w, hp_l)
+
+    # Warm-up (compile) with short windows.
+    p, o, k = params, opt_state, key
+    for _ in range(N_WARMUP_WINDOWS):
+        p, o, k = train_window(p, o, k, jnp.float32(1e-2), jnp.float32(0.3),
+                               jnp.float32(0.2), target, None, None, length=2)
+    jax.block_until_ready(p)
+
+    t0 = time.time()
+    p, o, k = train_window(p, o, k, jnp.float32(1e-2), jnp.float32(0.3),
+                           jnp.float32(0.2), target, None, None,
+                           length=N_TIMED_ITERS)
+    jax.block_until_ready(p)
+    dt = time.time() - t0
+
+    it_per_sec = N_TIMED_ITERS / dt
+    print(json.dumps({
+        "metric": "encode_train_iter_per_sec_hop_512x768",
+        "value": round(it_per_sec, 3),
+        "unit": "it/s",
+        "vs_baseline": round(it_per_sec / BASELINE_REF_CPU_IT_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,7 +128,7 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
                                     training=False, cr=cr)
         return loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda)
 
-    return train_window, eval_fn, hp_weight, hp_latent
+    return train_window, eval_fn, hp_weight, hp_latent, one_step
 
 
 def init_opt_state(params, hp_weight: SoapHyperParams, hp_latent: SoapHyperParams):
@@ -154,7 +154,7 @@ def logs_from_loss(lo: LossOutput) -> EncoderLogs:
 def test(params, fcfg: FrameConfig, target, refs=None, cr=None,
          dist_weight: Optional[Dict[str, float]] = None, lmbda: float = 1e-3) -> EncoderLogs:
     dist_weight = dist_weight or {"mse": 1.0}
-    _, eval_fn, _, _ = _make_fns(
+    _, eval_fn, _, _, _ = _make_fns(
         fcfg, "none", "hardround", tuple(sorted(dist_weight.items())), lmbda,
         (0.95, 0.95), (0.9, 0.999), 10, 1, refs is not None)
     return logs_from_loss(eval_fn(params, target, refs, cr))
@@ -168,7 +168,7 @@ def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
     monitor = monitor or EncoderMonitor()
     start_time = time.time()
 
-    train_window, eval_fn, hp_w, hp_l = _make_fns(
+    train_window, eval_fn, hp_w, hp_l, _ = _make_fns(
         fcfg, phase.quantizer_noise_type, phase.quantizer_type,
         tuple(sorted(phase.dist_weight.items())), phase.lmbda,
         tuple(phase.betas_model), tuple(phase.betas_latent),

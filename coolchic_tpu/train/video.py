@@ -1,0 +1,283 @@
+"""Video encoding: per-frame pipeline for I/P/B frames and the GOP driver.
+
+Per-frame (reference component/video.py:33-342 + samples/encode.py):
+  1. load the original frame + DECODED references (from the workdir);
+  2. [inter] global translation search, flow-guided motion pretraining
+     (pyramidal LK standing in for RAFT -- see models/flow.py);
+  3. warm-up tournament (half the inter candidates preloaded with the
+     pretrained motion decoder);
+  4. training phases, NN quantization, bitstream write, decode round-trip;
+  5. save the decoded frame so later frames can reference it.
+
+The GOP driver walks frames in coding order with the reference's per-depth
+rules: lambda * 1.5^depth and shrinking iteration budgets for B frames.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coolchic_tpu.bitstream.encode import encode_frame
+from coolchic_tpu.io.framedata import FrameData
+from coolchic_tpu.io.io import load_frame_data_from_file, save_frame_data_to_file
+from coolchic_tpu.io.yuv import convert_420_to_444
+from coolchic_tpu.models.flow import estimate_flow
+from coolchic_tpu.models.frame import FrameConfig, frame_cr_grids, frame_encoder_init
+from coolchic_tpu.models.globalmotion import get_global_translation
+from coolchic_tpu.nnquant.quantize import quantize_coolchic
+from coolchic_tpu.train.encode import _target_from_frame, img_min_max
+from coolchic_tpu.train.presets import AVAILABLE_PRESETS, Preset
+from coolchic_tpu.train.train import EncoderMonitor, _make_fns, test, train
+from coolchic_tpu.train.warmup import warmup
+from coolchic_tpu.utils.codingstructure import CodingStructure, Frame
+from coolchic_tpu.utils.parsecli import (
+    INTRA_OPERATING_POINTS,
+    MOTION_OPERATING_POINTS,
+    RESIDUE_OPERATING_POINTS,
+    coolchic_config_from_args,
+    substitute_x_channels,
+    synthesis_out_ft,
+)
+
+
+def _dense(frame: FrameData) -> np.ndarray:
+    if frame.frame_data_type == "yuv420":
+        return convert_420_to_444(frame.data)
+    return np.asarray(frame.data)
+
+
+def guided_motion_pretraining(target_flows: list[np.ndarray], motion_cfg, preset: Preset,
+                              key, monitor, verbose=False) -> dict:
+    """Overfit the motion decoder to imitate the estimated flow(s) as a dense
+    'flow image' (reference video.py:399-469)."""
+    import dataclasses
+
+    target = jnp.asarray(np.concatenate(target_flows, axis=1), dtype=jnp.float32)
+    n_out = target.shape[1]
+    layers = substitute_x_channels(list(motion_cfg.layers_synthesis), n_out)
+    pre_cfg = dataclasses.replace(motion_cfg, layers_synthesis=tuple(layers),
+                                  encoder_gain=16)
+    fcfg = FrameConfig(coolchic_cfg={"residue": pre_cfg}, frame_type="I",
+                       frame_data_type="flow", bitdepth=8)
+    params = frame_encoder_init(key, fcfg)
+    for phase in preset.motion_pretrain_phase:
+        key, sub = jax.random.split(key)
+        params = train(params, fcfg, target, phase, key=sub, monitor=monitor,
+                       verbose=verbose)
+    return params["residue"]
+
+
+def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path: str,
+                     workdir: str, preset: Preset, cfg_args: dict[str, dict],
+                     warp_filter_size: int = 8, seed: int = 0, verbose: bool = True
+                     ) -> dict:
+    """Encode one frame; returns {bitstream bytes, logs}. Decoded refs are
+    read from (and this frame's decoded output written to) the workdir."""
+    frame.set_frame_data(load_frame_data_from_file(
+        video_path, frame.display_order + frame.frame_offset))
+    fdata = frame.data
+    h, w = fdata.img_size
+    is_image = video_path.endswith((".png", ".ppm"))
+
+    # Decoded references from the workdir.
+    refs_data = []
+    for ref_idx in frame.index_references:
+        ref_path = os.path.join(workdir, f"{ref_idx:04d}-decoded.yuv")
+        if is_image:
+            ref_path = os.path.join(workdir, f"{ref_idx:04d}-decoded.png")
+        refs_data.append(load_frame_data_from_file(ref_path))
+    frame.set_refs_data(refs_data)
+
+    # Build per-coolchic configs (synthesis X substituted by frame type).
+    cfgs = {}
+    for name, args in cfg_args.items():
+        if frame.frame_type == "I" and name == "motion":
+            continue
+        cfgs[name] = coolchic_config_from_args(args, (h, w), coolchic_name=name,
+                                               frame_type=frame.frame_type)
+
+    # lambda-adaptive encoder gain for intra (reference video.py:80-91).
+    if frame.frame_type == "I":
+        import dataclasses
+
+        gain = 16
+        if preset.lmbda < 0.0002:
+            gain = 24
+        elif preset.lmbda < 0.0005:
+            gain = 20
+        cfgs = {k: dataclasses.replace(v, encoder_gain=gain) for k, v in cfgs.items()}
+
+    fcfg = FrameConfig(
+        coolchic_cfg=cfgs, frame_type=frame.frame_type,
+        frame_data_type=fdata.frame_data_type, bitdepth=fdata.bitdepth,
+        index_references=tuple(frame.index_references),
+        frame_display_index=frame.display_order,
+        warp_filter_size=warp_filter_size)
+
+    target = _target_from_frame(fdata)
+    cr = frame_cr_grids(fcfg)
+    monitor = EncoderMonitor()
+    key = jax.random.PRNGKey(seed + 1000 * frame.display_order)
+
+    # ----- Inter-only: global translation + guided motion pretraining.
+    refs_dense = [jnp.asarray(_dense(r)) for r in refs_data]
+    global_flows = [np.zeros(2, dtype=np.float32), np.zeros(2, dtype=np.float32)]
+    pretrained_motion = None
+    if frame.frame_type != "I":
+        t0 = time.time()
+        shifted_refs, flows = get_global_translation(_dense(fdata),
+                                                     [_dense(r) for r in refs_data])
+        for i, f in enumerate(flows):
+            global_flows[i] = f
+        if verbose:
+            print(f"global translation {[f.tolist() for f in flows]} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+
+        t0 = time.time()
+        target_dense = _dense(fdata)
+        est_flows = [np.asarray(estimate_flow(target_dense, sref))
+                     for sref in shifted_refs]
+        key, sub = jax.random.split(key)
+        if preset.motion_pretrain_phase and preset.motion_pretrain_phase[0].max_itr > 0:
+            pretrained_motion = guided_motion_pretraining(
+                est_flows, cfgs["motion"], preset, sub, monitor, verbose=False)
+            # Rescale latents if the final motion gain differs from 16.
+            ratio = cfgs["motion"].encoder_gain / 16.0
+            if ratio != 1.0:
+                pretrained_motion = dict(pretrained_motion)
+                pretrained_motion["latents"] = [lat * ratio
+                                                for lat in pretrained_motion["latents"]]
+            if verbose:
+                print(f"motion pretraining done ({time.time() - t0:.1f}s)", flush=True)
+
+    # ----- Warm-up candidates (half preloaded with the pretrained motion).
+    stats = img_min_max(fdata)
+    n_candidates = preset.warmup.phases[0].candidates if preset.warmup.phases else 1
+    cand_keys = jax.random.split(key, n_candidates + 1)
+    key = cand_keys[0]
+    candidates = []
+    for i in range(n_candidates):
+        p = frame_encoder_init(cand_keys[i + 1], fcfg, stats)
+        p["global_flow_1"] = jnp.asarray(global_flows[0])
+        p["global_flow_2"] = jnp.asarray(global_flows[1])
+        if pretrained_motion is not None and i % 2:
+            p["motion"] = pretrained_motion
+        candidates.append(p)
+
+    refs_arg = refs_dense if frame.frame_type != "I" else None
+    if preset.warmup.phases:
+        params = warmup(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
+                        key=key, monitor=monitor, verbose=verbose)
+    else:
+        params = candidates[0]
+
+    for idx, phase in enumerate(preset.training_phases):
+        key, sub = jax.random.split(key)
+        params = train(params, fcfg, target, phase, refs=refs_arg, cr=cr, key=sub,
+                       monitor=monitor, verbose=verbose)
+
+    # ----- NN quantization per cool-chic.
+    phase0 = preset.training_phases[-1]
+    n_pixels = fdata.n_pixels
+    nn_side_info = {}
+    for cc_name in fcfg.cc_cfgs:
+        _, eval_fn, _, _, _ = _make_fns(
+            fcfg, "none", "hardround", tuple(sorted(phase0.dist_weight.items())),
+            phase0.lmbda, (0.95, 0.95), (0.9, 0.999), 10, 1, refs_arg is not None)
+
+        def eval_loss(cc_params, total_nn_bits, _name=cc_name):
+            trial = dict(params)
+            trial[_name] = cc_params
+            lo = eval_fn(trial, target, refs_arg, cr)
+            return float(lo.loss) + phase0.lmbda * total_nn_bits / n_pixels
+
+        q_params, q_shift, expgol, nn_bits = quantize_coolchic(
+            params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, phase0.lmbda,
+            n_pixels, verbose=verbose)
+        params = dict(params)
+        params[cc_name] = q_params
+        nn_side_info[cc_name] = (q_shift, expgol)
+
+    logs = test(params, fcfg, target, refs=refs_arg, cr=cr,
+                dist_weight=phase0.dist_weight, lmbda=phase0.lmbda)
+
+    # ----- Bitstream + decoded frame for future references.
+    payload = encode_frame(params, fcfg, coding_structure, nn_side_info,
+                           is_first_frame=frame.coding_order == 0)
+
+    from coolchic_tpu.models.frame import frame_encoder_forward
+
+    out = frame_encoder_forward(params, fcfg, reference_frames=refs_arg,
+                                training=False, cr=cr)
+    if fdata.frame_data_type == "yuv420":
+        dec_data = {k: np.asarray(v) for k, v in out.decoded_image.items()}
+    else:
+        dec_data = np.asarray(out.decoded_image)
+    decoded = FrameData(fdata.bitdepth, fdata.frame_data_type, dec_data)
+    dec_path = os.path.join(
+        workdir, f"{frame.display_order:04d}-decoded." + ("png" if is_image else "yuv"))
+    save_frame_data_to_file(decoded, dec_path)
+
+    if verbose:
+        print(f"frame {frame.frame_type}{frame.display_order}: "
+              f"psnr {logs.psnr_db:.3f} dB, {8 * len(payload) / n_pixels:.4f} bpp "
+              f"({len(payload)} bytes), {monitor.iterations_counter} iters, "
+              f"{monitor.total_training_time_sec:.1f}s", flush=True)
+
+    return {"payload": payload, "logs": logs, "decoded": decoded,
+            "n_bytes": len(payload)}
+
+
+def frame_cfg_args(frame_type: str, depth: int) -> tuple[dict, dict]:
+    """Per-depth operating points + schedule scaling (samples/encode.py:23-70)."""
+    if frame_type == "I":
+        return {"residue": INTRA_OPERATING_POINTS["hop"]}, dict(
+            start_lr=1e-2, n_itr=10000, n_itr_motion=0, lmbda_scale=1.0)
+    if frame_type == "P":
+        return ({"residue": RESIDUE_OPERATING_POINTS["mop"],
+                 "motion": MOTION_OPERATING_POINTS["mop"]},
+                dict(start_lr=5e-3, n_itr=10000, n_itr_motion=3000, lmbda_scale=1.0))
+    op = "mop" if depth == 1 else "lop"
+    return ({"residue": RESIDUE_OPERATING_POINTS[op],
+             "motion": MOTION_OPERATING_POINTS[op]},
+            dict(start_lr=1e-2, n_itr=max(10000 - 2000 * depth, 1000),
+                 n_itr_motion=max(5000 - 1000 * depth, 1000),
+                 lmbda_scale=1.5**depth))
+
+
+def encode_video(video_path: str, bitstream_path: str, workdir: str, *,
+                 n_frames: int, intra_pos: list[int], p_pos: list[int],
+                 lmbda: float = 1e-3, itr_scale: float = 1.0, seed: int = 0,
+                 verbose: bool = True) -> dict:
+    """GOP driver: encode all frames in coding order (samples/encode.py)."""
+    os.makedirs(workdir, exist_ok=True)
+    cs = CodingStructure(n_frames=n_frames, intra_pos=list(intra_pos),
+                         p_pos=list(p_pos))
+    if verbose:
+        print(cs.pretty_string(), flush=True)
+
+    all_payload = b""
+    results = []
+    for coding_idx in range(cs.get_max_coding_order() + 1):
+        frame = cs.get_frame_from_coding_order(coding_idx)
+        cfg_args, sched = frame_cfg_args(frame.frame_type, frame.depth)
+        n_itr = max(int(sched["n_itr"] * itr_scale), 2000)
+        preset_name = "intra" if frame.frame_type == "I" else "inter"
+        preset = AVAILABLE_PRESETS[preset_name](
+            lmbda=lmbda * sched["lmbda_scale"], start_lr=sched["start_lr"],
+            itr_main_training=n_itr,
+            itr_motion_pretrain=max(int(sched["n_itr_motion"] * itr_scale), 0))
+        res = encode_one_frame(frame, cs, video_path, workdir, preset, cfg_args,
+                               seed=seed, verbose=verbose)
+        all_payload += res["payload"]
+        results.append(res)
+
+    with open(bitstream_path, "wb") as f:
+        f.write(all_payload)
+    return {"n_bytes": len(all_payload), "results": results}

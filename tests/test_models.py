@@ -46,7 +46,8 @@ def test_config_derivation():
     assert cfg.flag_is_hyperlatent == (False, False, False, True, False, True)
     assert cfg.size_per_latent[0] == (40, 56)
     assert cfg.size_per_latent[-1] == (5, 7)
-    assert cfg.input_features_ifce == (5, 4, 3, 0, 0, 0)
+    # hyperlatent grid 3 sits at downsampling ratio 2, inside the IFCE range
+    assert cfg.input_features_ifce == (5, 4, 3, 2, 0, 0)
     assert cfg.total_context_arm == 12
     assert cfg.input_feature_synthesis == 4
 

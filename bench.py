@@ -10,9 +10,17 @@ forward/backward/optimizer step) measured on this host's CPU (2 threads):
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: the first bench run on a fresh machine pays
+# the (large) XLA compile of the scan-of-SOAP-steps graph once.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 # Reference coolchic (torch 2.13 CPU, 2 threads, this host), hop 512x768,
@@ -39,12 +47,13 @@ def main():
     params = frame_encoder_init(key, fcfg)
     target = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, *img_size), dtype=jnp.float32)
 
-    train_window, eval_fn, hp_w, hp_l, _ = _make_fns(
+    fns = _make_fns(
         fcfg, phase.quantizer_noise_type, phase.quantizer_type,
         tuple(sorted(phase.dist_weight.items())), phase.lmbda,
         tuple(phase.betas_model), tuple(phase.betas_latent),
         phase.precondition_frequency_model, phase.freq_valid, False)
-    opt_state = init_opt_state(params, hp_w, hp_l)
+    train_window = fns["train_window"]
+    opt_state = init_opt_state(params, fns["hp_weight"], fns["hp_latent"])
 
     # Warm-up (compile) with short windows.
     p, o, k = params, opt_state, key

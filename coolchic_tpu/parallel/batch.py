@@ -68,8 +68,8 @@ def make_batched_window(fcfg: FrameConfig, pkey: tuple, freq_valid: int, mesh: M
     """jitted shard_map'd window: each "data" slice advances its local images
     by freq_valid training steps (local vmap inside the shard)."""
     (qnt, qt, dw, lmbda, bm, bl, pf) = pkey
-    _, _, _, _, one_step = _make_fns(fcfg, qnt, qt, dw, lmbda, bm, bl, pf,
-                                     freq_valid, False)
+    fns = _make_fns(fcfg, qnt, qt, dw, lmbda, bm, bl, pf, freq_valid, False)
+    one_step = fns["plain_step"]
 
     def window_one(params, opt_state, key, lr, temp, noise, target):
         carry = (params, opt_state, key, lr, temp, noise, target, None, None)

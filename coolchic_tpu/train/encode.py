@@ -97,9 +97,9 @@ def encode_image(frame: FrameData, cfgs: dict[str, CoolChicConfig], preset: Pres
     nn_side_info = {}
     for cc_name in fcfg.cc_cfgs:
         cfg = fcfg.cc_cfgs[cc_name]
-        _, eval_fn, _, _, _ = _make_fns(
+        eval_fn = _make_fns(
             fcfg, "none", "hardround", tuple(sorted(phase0.dist_weight.items())),
-            phase0.lmbda, (0.95, 0.95), (0.9, 0.999), 10, 1, False)
+            phase0.lmbda, (0.95, 0.95), (0.9, 0.999), 10, 1, False)["eval_fn"]
 
         def eval_loss(cc_params, total_nn_bits, _name=cc_name):
             trial = dict(params)

@@ -130,91 +130,65 @@ def _qr_refresh(gg_list, q_list, exp_avg_sq, active):
     return new_qs, exp_avg_sq
 
 
-def soap_update_leaf(grad: jnp.ndarray, state: dict, param: jnp.ndarray,
-                     lr: jnp.ndarray | float, hp: SoapHyperParams
-                     ) -> tuple[jnp.ndarray, dict]:
-    """One SOAP step for one parameter leaf. Returns (new_param, new_state)."""
+def soap_init_from_grad_leaf(grad: jnp.ndarray, state: dict, hp: SoapHyperParams) -> dict:
+    """The reference's first step: seed GG with the first gradient, compute
+    the eigenbasis, make NO parameter update. Run once, outside the jitted
+    step loop (keeping eigh and the init branch out of the hot graph)."""
+    active = _precond_dims(grad.shape, hp)
+    gg = _update_gg(state["GG"], grad, active, hp.effective_shampoo_beta)
+    qs = _eigh_qs(gg, active)
+    new_state = dict(state)
+    new_state["GG"] = gg
+    new_state["Q"] = qs
+    new_state["initialized"] = jnp.ones((), dtype=jnp.bool_)
+    return new_state
+
+
+def soap_step_leaf(grad: jnp.ndarray, state: dict, param: jnp.ndarray,
+                   lr: jnp.ndarray | float, hp: SoapHyperParams, *,
+                   refresh: bool) -> tuple[jnp.ndarray, dict]:
+    """One (initialized) SOAP step for one leaf. `refresh` is STATIC: the
+    caller schedules the QR eigenbasis refresh every
+    `hp.precondition_frequency` steps, so the hot graph carries no lax.cond."""
     active = _precond_dims(param.shape, hp)
     any_active = any(active)
-    sb = hp.effective_shampoo_beta
 
-    def first_step(_):
-        gg = _update_gg(state["GG"], grad, active, sb)
-        qs = _eigh_qs(gg, active)
-        new_state = dict(state)
-        new_state["GG"] = gg
-        new_state["Q"] = qs
-        new_state["initialized"] = jnp.ones((), dtype=jnp.bool_)
-        return param, new_state
+    qs = state["Q"]
+    grad_proj = _project(grad, qs, active)
+    step = state["step"] + 1
+    exp_avg = state["exp_avg"] * hp.b1 + grad_proj * (1.0 - hp.b1)
+    exp_avg_sq = state["exp_avg_sq"] * hp.b2 + jnp.square(grad_proj) * (1.0 - hp.b2)
+    denom = jnp.sqrt(exp_avg_sq) + hp.eps
 
-    def regular_step(_):
-        qs = state["Q"]
-        grad_proj = _project(grad, qs, active)
-        step = state["step"] + 1
-        exp_avg = state["exp_avg"] * hp.b1 + grad_proj * (1.0 - hp.b1)
-        exp_avg_sq = state["exp_avg_sq"] * hp.b2 + jnp.square(grad_proj) * (1.0 - hp.b2)
-        denom = jnp.sqrt(exp_avg_sq) + hp.eps
+    step_size = lr
+    if hp.correct_bias:
+        bc1 = 1.0 - hp.b1 ** step.astype(jnp.float32)
+        bc2 = 1.0 - hp.b2 ** step.astype(jnp.float32)
+        step_size = step_size * jnp.sqrt(bc2) / bc1
 
-        step_size = lr
-        if hp.correct_bias:
-            bc1 = 1.0 - hp.b1 ** step.astype(jnp.float32)
-            bc2 = 1.0 - hp.b2 ** step.astype(jnp.float32)
-            step_size = step_size * jnp.sqrt(bc2) / bc1
+    norm_grad = _project_back(exp_avg / denom, qs, active)
+    new_param = param - step_size * norm_grad
+    if hp.weight_decay > 0:
+        new_param = new_param - lr * hp.weight_decay * new_param
 
-        norm_grad = _project_back(exp_avg / denom, qs, active)
-        new_param = param - step_size * norm_grad
-        if hp.weight_decay > 0:
-            new_param = new_param - lr * hp.weight_decay * new_param
-
-        # --- preconditioner maintenance (reference order) ---
+    gg = _update_gg(state["GG"], grad, active, hp.effective_shampoo_beta)
+    if refresh and any_active:
         exp_avg_back = _project_back(exp_avg, qs, active)
-        gg = _update_gg(state["GG"], grad, active, sb)
-
-        def do_refresh(args):
-            eas, = args
-            return _qr_refresh(gg, qs, eas, active)
-
-        def no_refresh(args):
-            eas, = args
-            return [jnp.asarray(q) for q in qs], eas
-
-        if any_active:
-            new_qs, exp_avg_sq = jax.lax.cond(
-                step % hp.precondition_frequency == 0, do_refresh, no_refresh,
-                (exp_avg_sq,))
-        else:
-            new_qs = list(qs)
+        new_qs, exp_avg_sq = _qr_refresh(gg, qs, exp_avg_sq, active)
         exp_avg = _project(exp_avg_back, new_qs, active)
+    else:
+        new_qs = list(qs)
 
-        new_state = {
-            "step": step,
-            "initialized": state["initialized"],
-            "exp_avg": exp_avg,
-            "exp_avg_sq": exp_avg_sq,
-            "GG": gg,
-            "Q": new_qs,
-        }
-        return new_param, new_state
-
-    if not any_active:
-        # Pure Adam path still honors the first-step skip for parity.
-        return jax.lax.cond(state["initialized"], regular_step, first_step, None)
-    return jax.lax.cond(state["initialized"], regular_step, first_step, None)
+    new_state = {
+        "step": step,
+        "initialized": state["initialized"],
+        "exp_avg": exp_avg,
+        "exp_avg_sq": exp_avg_sq,
+        "GG": gg,
+        "Q": new_qs,
+    }
+    return new_param, new_state
 
 
 def soap_init(params, hp: SoapHyperParams):
     return jax.tree_util.tree_map(partial(soap_init_leaf, hp=hp), params)
-
-
-def soap_update(grads, state, params, lr, hp: SoapHyperParams):
-    """Apply SOAP to every leaf of a params pytree. Returns (params, state)."""
-    leaves_p, treedef = jax.tree_util.tree_flatten(params)
-    leaves_g = treedef.flatten_up_to(grads)
-    leaves_s = treedef.flatten_up_to(state)
-    new_p, new_s = [], []
-    for g, s, p in zip(leaves_g, leaves_s, leaves_p):
-        np_, ns_ = soap_update_leaf(g, s, p, lr, hp)
-        new_p.append(np_)
-        new_s.append(ns_)
-    return (jax.tree_util.tree_unflatten(treedef, new_p),
-            jax.tree_util.tree_unflatten(treedef, new_s))

@@ -26,7 +26,12 @@ from coolchic_tpu.models.frame import FrameConfig, frame_encoder_forward
 from coolchic_tpu.train.loss import LossOutput, dist_to_db, loss_function
 from coolchic_tpu.train.params import FROZEN, LATENT, WEIGHT, group_tree
 from coolchic_tpu.train.presets import TrainerPhase
-from coolchic_tpu.train.soap import SoapHyperParams, soap_init_leaf, soap_update_leaf
+from coolchic_tpu.train.soap import (
+    SoapHyperParams,
+    soap_init_from_grad_leaf,
+    soap_init_leaf,
+    soap_step_leaf,
+)
 
 ETA_MIN = 1e-5
 
@@ -83,35 +88,52 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
 
     grad_fn = jax.grad(loss_of)
 
-    def one_step(carry, _):
-        params, opt_state, key, lr, temp, noise, target, refs, cr = carry
-        key, sub = jax.random.split(key)
-        grads = grad_fn(params, sub, temp, noise, target, refs, cr)
+    def _make_step(refresh: bool):
+        def one_step(carry, _):
+            params, opt_state, key, lr, temp, noise, target, refs, cr = carry
+            key, sub = jax.random.split(key)
+            grads = grad_fn(params, sub, temp, noise, target, refs, cr)
 
-        leaves_p, treedef = jax.tree_util.tree_flatten(params)
-        groups = group_tree(params)
-        leaves_g = treedef.flatten_up_to(grads)
-        leaves_s = treedef.flatten_up_to(opt_state)
+            leaves_p, treedef = jax.tree_util.tree_flatten(params)
+            groups = group_tree(params)
+            leaves_g = treedef.flatten_up_to(grads)
+            leaves_s = treedef.flatten_up_to(opt_state)
 
-        # Global-norm clip of the WEIGHT group at 0.1 (reference train.py:228).
-        sq = sum(jnp.sum(jnp.square(g)) for g, grp in zip(leaves_g, groups) if grp == WEIGHT)
-        norm = jnp.sqrt(sq)
-        clip = jnp.minimum(1.0, 0.1 / (norm + 1e-6))
-        new_p, new_s = [], []
-        for p, g, s, grp in zip(leaves_p, leaves_g, leaves_s, groups):
-            if grp == FROZEN or s is None:
-                new_p.append(p)
-                new_s.append(s)
-                continue
-            if grp == WEIGHT:
-                p2, s2 = soap_update_leaf(g * clip, s, p, lr, hp_weight)
-            else:
-                p2, s2 = soap_update_leaf(g, s, p, lr, hp_latent)
-            new_p.append(p2)
-            new_s.append(s2)
-        params = jax.tree_util.tree_unflatten(treedef, new_p)
-        opt_state = jax.tree_util.tree_unflatten(treedef, new_s)
-        return (params, opt_state, key, lr, temp, noise, target, refs, cr), None
+            # Global-norm clip of the WEIGHT group at 0.1 (reference train.py:228).
+            sq = sum(jnp.sum(jnp.square(g))
+                     for g, grp in zip(leaves_g, groups) if grp == WEIGHT)
+            norm = jnp.sqrt(sq)
+            clip = jnp.minimum(1.0, 0.1 / (norm + 1e-6))
+            new_p, new_s = [], []
+            for p, g, s, grp in zip(leaves_p, leaves_g, leaves_s, groups):
+                if grp == FROZEN or s is None:
+                    new_p.append(p)
+                    new_s.append(s)
+                    continue
+                if grp == WEIGHT:
+                    p2, s2 = soap_step_leaf(g * clip, s, p, lr, hp_weight,
+                                            refresh=refresh)
+                else:
+                    p2, s2 = soap_step_leaf(g, s, p, lr, hp_latent, refresh=False)
+                new_p.append(p2)
+                new_s.append(s2)
+            params = jax.tree_util.tree_unflatten(treedef, new_p)
+            opt_state = jax.tree_util.tree_unflatten(treedef, new_s)
+            return (params, opt_state, key, lr, temp, noise, target, refs, cr), None
+
+        return one_step
+
+    plain_step = _make_step(False)
+    refresh_step = _make_step(True)
+    pf = max(precondition_frequency_model, 1)
+
+    def _block(carry, _):
+        # (pf - 1) plain steps followed by one eigenbasis-refresh step: the
+        # QR refresh lands on every pf-th step with NO lax.cond in the graph.
+        if pf > 1:
+            carry, _ = jax.lax.scan(plain_step, carry, None, length=pf - 1)
+        carry, _ = refresh_step(carry, None)
+        return carry, None
 
     from functools import partial
 
@@ -119,8 +141,32 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
     def train_window(params, opt_state, key, lr, temp, noise, target, refs, cr,
                      length=freq_valid):
         carry = (params, opt_state, key, lr, temp, noise, target, refs, cr)
-        carry, _ = jax.lax.scan(one_step, carry, None, length=length)
+        n_blocks, rem = divmod(length, pf)
+        if n_blocks > 0:
+            carry, _ = jax.lax.scan(_block, carry, None, length=n_blocks)
+        if rem > 0:
+            carry, _ = jax.lax.scan(plain_step, carry, None, length=rem)
         return carry[0], carry[1], carry[2]
+
+    @jax.jit
+    def init_fn(params, opt_state, key, temp, noise, target, refs, cr):
+        """The reference's step 0: use the first gradient to seed GG and the
+        eigenbases; no parameter update (soap.py first-step semantics)."""
+        key, sub = jax.random.split(key)
+        grads = grad_fn(params, sub, temp, noise, target, refs, cr)
+        treedef = jax.tree_util.tree_structure(params)
+        groups = group_tree(params)
+        leaves_g = treedef.flatten_up_to(grads)
+        leaves_s = treedef.flatten_up_to(opt_state)
+        new_s = []
+        for g, s, grp in zip(leaves_g, leaves_s, groups):
+            if grp == FROZEN or s is None:
+                new_s.append(s)
+            elif grp == WEIGHT:
+                new_s.append(soap_init_from_grad_leaf(g, s, hp_weight))
+            else:
+                new_s.append(soap_init_from_grad_leaf(g, s, hp_latent))
+        return jax.tree_util.tree_unflatten(treedef, new_s), key
 
     @jax.jit
     def eval_fn(params, target, refs, cr):
@@ -128,7 +174,9 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
                                     training=False, cr=cr)
         return loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda)
 
-    return train_window, eval_fn, hp_weight, hp_latent, one_step
+    return {"train_window": train_window, "eval_fn": eval_fn,
+            "hp_weight": hp_weight, "hp_latent": hp_latent,
+            "init_fn": init_fn, "plain_step": plain_step, "block": _block, "pf": pf}
 
 
 def init_opt_state(params, hp_weight: SoapHyperParams, hp_latent: SoapHyperParams):
@@ -154,9 +202,9 @@ def logs_from_loss(lo: LossOutput) -> EncoderLogs:
 def test(params, fcfg: FrameConfig, target, refs=None, cr=None,
          dist_weight: Optional[Dict[str, float]] = None, lmbda: float = 1e-3) -> EncoderLogs:
     dist_weight = dist_weight or {"mse": 1.0}
-    _, eval_fn, _, _, _ = _make_fns(
+    eval_fn = _make_fns(
         fcfg, "none", "hardround", tuple(sorted(dist_weight.items())), lmbda,
-        (0.95, 0.95), (0.9, 0.999), 10, 1, refs is not None)
+        (0.95, 0.95), (0.9, 0.999), 10, 1, refs is not None)["eval_fn"]
     return logs_from_loss(eval_fn(params, target, refs, cr))
 
 
@@ -168,17 +216,25 @@ def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
     monitor = monitor or EncoderMonitor()
     start_time = time.time()
 
-    train_window, eval_fn, hp_w, hp_l, _ = _make_fns(
+    fns = _make_fns(
         fcfg, phase.quantizer_noise_type, phase.quantizer_type,
         tuple(sorted(phase.dist_weight.items())), phase.lmbda,
         tuple(phase.betas_model), tuple(phase.betas_latent),
         phase.precondition_frequency_model, phase.freq_valid, refs is not None)
+    train_window, eval_fn = fns["train_window"], fns["eval_fn"]
 
-    opt_state = init_opt_state(params, hp_w, hp_l)
+    opt_state = init_opt_state(params, fns["hp_weight"], fns["hp_latent"])
 
     best = logs_from_loss(eval_fn(params, target, refs, cr))
     initial = best
     best_params = params
+
+    # SOAP first-step semantics: the first gradient only seeds the
+    # preconditioner eigenbases (eigh stays out of the hot scan graph).
+    temp0 = linear_schedule(phase.softround_temperature, 0, phase.max_itr)
+    noise0 = linear_schedule(phase.noise_parameter, 0, phase.max_itr)
+    opt_state, key = fns["init_fn"](params, opt_state, key, jnp.float32(temp0),
+                                    jnp.float32(noise0), target, refs, cr)
 
     n_windows = math.ceil(phase.max_itr / phase.freq_valid)
     t_max = phase.max_itr / phase.freq_valid

@@ -46,6 +46,16 @@ from coolchic_tpu.utils.parsecli import (
 )
 
 
+def _decoded_name(display_idx: int, fdata: FrameData, is_image: bool) -> str:
+    """Decoded-frame filename; yuv names carry the WxH / format convention
+    required by the loader."""
+    if is_image:
+        return f"{display_idx:04d}-decoded.png"
+    h, w = fdata.img_size
+    return (f"{display_idx:04d}-decoded_{w}x{h}_{fdata.frame_data_type}_"
+            f"{fdata.bitdepth}b.yuv")
+
+
 def _dense(frame: FrameData) -> np.ndarray:
     if frame.frame_data_type == "yuv420":
         return convert_420_to_444(frame.data)
@@ -88,9 +98,7 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
     # Decoded references from the workdir.
     refs_data = []
     for ref_idx in frame.index_references:
-        ref_path = os.path.join(workdir, f"{ref_idx:04d}-decoded.yuv")
-        if is_image:
-            ref_path = os.path.join(workdir, f"{ref_idx:04d}-decoded.png")
+        ref_path = os.path.join(workdir, _decoded_name(ref_idx, fdata, is_image))
         refs_data.append(load_frame_data_from_file(ref_path))
     frame.set_refs_data(refs_data)
 
@@ -157,7 +165,9 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
                 print(f"motion pretraining done ({time.time() - t0:.1f}s)", flush=True)
 
     # ----- Warm-up candidates (half preloaded with the pretrained motion).
-    stats = img_min_max(fdata)
+    # Stats-based output transform only applies to intra frames
+    # (reference video.py:84-101).
+    stats = img_min_max(fdata) if frame.frame_type == "I" else None
     n_candidates = preset.warmup.phases[0].candidates if preset.warmup.phases else 1
     cand_keys = jax.random.split(key, n_candidates + 1)
     key = cand_keys[0]
@@ -187,9 +197,9 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
     n_pixels = fdata.n_pixels
     nn_side_info = {}
     for cc_name in fcfg.cc_cfgs:
-        _, eval_fn, _, _, _ = _make_fns(
+        eval_fn = _make_fns(
             fcfg, "none", "hardround", tuple(sorted(phase0.dist_weight.items())),
-            phase0.lmbda, (0.95, 0.95), (0.9, 0.999), 10, 1, refs_arg is not None)
+            phase0.lmbda, (0.95, 0.95), (0.9, 0.999), 10, 1, refs_arg is not None)["eval_fn"]
 
         def eval_loss(cc_params, total_nn_bits, _name=cc_name):
             trial = dict(params)
@@ -220,8 +230,7 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
     else:
         dec_data = np.asarray(out.decoded_image)
     decoded = FrameData(fdata.bitdepth, fdata.frame_data_type, dec_data)
-    dec_path = os.path.join(
-        workdir, f"{frame.display_order:04d}-decoded." + ("png" if is_image else "yuv"))
+    dec_path = os.path.join(workdir, _decoded_name(frame.display_order, fdata, is_image))
     save_frame_data_to_file(decoded, dec_path)
 
     if verbose:

@@ -55,11 +55,12 @@ def main():
     train_window = fns["train_window"]
     opt_state = init_opt_state(params, fns["hp_weight"], fns["hp_latent"])
 
-    # Warm-up (compile) with short windows.
+    # Warm-up = one full-length window (same static `length` as the timed
+    # call, so exactly one compilation happens and is reused).
     p, o, k = params, opt_state, key
-    for _ in range(N_WARMUP_WINDOWS):
-        p, o, k = train_window(p, o, k, jnp.float32(1e-2), jnp.float32(0.3),
-                               jnp.float32(0.2), target, None, None, length=2)
+    p, o, k = train_window(p, o, k, jnp.float32(1e-2), jnp.float32(0.3),
+                           jnp.float32(0.2), target, None, None,
+                           length=N_TIMED_ITERS)
     jax.block_until_ready(p)
 
     t0 = time.time()

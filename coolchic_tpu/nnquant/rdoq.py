@@ -177,7 +177,7 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
                     losses = scorer(jnp.asarray(batch), jnp.asarray(flat_b), *activations)
                 else:
                     losses = scorer(jnp.asarray(flat_w), jnp.asarray(batch), *activations)
-                losses = np.asarray(losses)
+                losses = np.array(losses)
                 # Keep quantized magnitudes within the 16-bit header cap.
                 losses[np.abs(np.round((flat[idx] + shifts) / q)) > 65535] = np.inf
                 best = int(np.argmin(losses))

@@ -53,7 +53,7 @@ def img_min_max(frame: FrameData) -> Optional[jnp.ndarray]:
 
 
 def encode_image(frame: FrameData, cfgs: dict[str, CoolChicConfig], preset: Preset,
-                 *, seed: int = 0, verbose: bool = True
+                 *, seed: int = 0, verbose: bool = True, rdoq: bool = True
                  ) -> tuple[dict, FrameConfig, dict, dict]:
     """Overfit one I-frame. Returns (params, fcfg, nn_side_info, logs)."""
     fcfg = FrameConfig(
@@ -110,6 +110,14 @@ def encode_image(frame: FrameData, cfgs: dict[str, CoolChicConfig], preset: Pres
         t0 = time.time()
         q_params, q_shift, expgol, nn_bits = quantize_coolchic(
             params[cc_name], cfg, eval_loss, phase0.lmbda, n_pixels, verbose=verbose)
+        if rdoq:
+            from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
+
+            rdoq_target = target if not isinstance(target, dict) else None
+            modules = ("arm", "synthesis") if rdoq_target is not None else ("arm",)
+            q_params = rdoq_coolchic(q_params, cfg, q_shift, expgol, phase0.lmbda,
+                                     target=rdoq_target, frame_type="I",
+                                     modules=modules, verbose=verbose)
         params = dict(params)
         params[cc_name] = q_params
         nn_side_info[cc_name] = (q_shift, expgol)
@@ -128,9 +136,10 @@ def encode_image(frame: FrameData, cfgs: dict[str, CoolChicConfig], preset: Pres
 
 def encode_image_to_bitstream(frame: FrameData, cfgs: dict[str, CoolChicConfig],
                               preset: Preset, bitstream_path: str, *,
-                              seed: int = 0, verbose: bool = True) -> dict:
+                              seed: int = 0, verbose: bool = True,
+                              rdoq: bool = True) -> dict:
     params, fcfg, nn_side_info, logs = encode_image(
-        frame, cfgs, preset, seed=seed, verbose=verbose)
+        frame, cfgs, preset, seed=seed, verbose=verbose, rdoq=rdoq)
     cs = CodingStructure(n_frames=1, intra_pos=[0])
     payload = encode_frame(params, fcfg, cs, nn_side_info, is_first_frame=True)
     with open(bitstream_path, "wb") as f:

@@ -78,12 +78,24 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
         b1=betas_latent[0], b2=betas_latent[1], weight_decay=0.0,
         precondition_frequency=1, max_precond_dim=0)
 
+    wd_fn = None
+    if "wasserstein" in dist_weight_d:
+        from coolchic_tpu.train.wasserstein import vgg16_features, wasserstein_distortion
+
+        def wd_fn(decoded, target):  # noqa: F811
+            dist = 0.0
+            for fa, fb in zip(vgg16_features(decoded),
+                              vgg16_features(jax.lax.stop_gradient(target))):
+                dist = dist + wasserstein_distortion(fa, fb)
+            return dist
+
     def loss_of(params, key, temp, noise, target, refs, cr):
         out = frame_encoder_forward(
             params, fcfg, reference_frames=refs, key=key,
             quantizer_noise_type=quantizer_noise_type, quantizer_type=quantizer_type,
             soft_round_temperature=temp, noise_parameter=noise, training=True, cr=cr)
-        lo = loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda)
+        lo = loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda,
+                           wasserstein_fn=wd_fn)
         return lo.loss
 
     grad_fn = jax.grad(loss_of)

@@ -85,8 +85,8 @@ def guided_motion_pretraining(target_flows: list[np.ndarray], motion_cfg, preset
 
 def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path: str,
                      workdir: str, preset: Preset, cfg_args: dict[str, dict],
-                     warp_filter_size: int = 8, seed: int = 0, verbose: bool = True
-                     ) -> dict:
+                     warp_filter_size: int = 8, seed: int = 0, verbose: bool = True,
+                     rdoq: bool = True) -> dict:
     """Encode one frame; returns {bitstream bytes, logs}. Decoded refs are
     read from (and this frame's decoded output written to) the workdir."""
     frame.set_frame_data(load_frame_data_from_file(
@@ -210,6 +210,17 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
         q_params, q_shift, expgol, nn_bits = quantize_coolchic(
             params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, phase0.lmbda,
             n_pixels, verbose=verbose)
+        if rdoq:
+            from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
+
+            rdoq_target = (np.asarray(target) if frame.frame_type == "I"
+                           and not isinstance(target, dict) and cc_name == "residue"
+                           else None)
+            modules = ("arm", "synthesis") if rdoq_target is not None else ("arm",)
+            q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift, expgol,
+                                     phase0.lmbda, target=rdoq_target,
+                                     frame_type=frame.frame_type, modules=modules,
+                                     verbose=verbose)
         params = dict(params)
         params[cc_name] = q_params
         nn_side_info[cc_name] = (q_shift, expgol)

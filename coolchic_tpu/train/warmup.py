@@ -2,18 +2,133 @@
 
 Each phase briefly trains the surviving candidates, ranks them by loss and
 prunes to the next phase's candidate count; the winner seeds the main
-training. Reference parity: coolchic/training/warmup.py.
+training. Reference parity: coolchic/training/warmup.py -- except that the
+reference trains candidates serially while `warmup_batched` trains ALL of
+them as one vmapped program (a TPU keeps 5 candidate codecs busy as a batch
+for roughly the cost of one).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from coolchic_tpu.models.frame import FrameConfig
+from coolchic_tpu.train.loss import dist_to_db
 from coolchic_tpu.train.presets import Preset
-from coolchic_tpu.train.train import EncoderMonitor, test, train
+from coolchic_tpu.train.train import (
+    EncoderMonitor,
+    _make_fns,
+    init_opt_state,
+    test,
+    train,
+)
+
+
+def _stack(trees: list):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _index(tree, i: int):
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+def warmup_batched(candidates: list[dict], preset: Preset, fcfg: FrameConfig, target, *,
+                   refs=None, cr=None, key: Optional[jax.Array] = None,
+                   monitor: Optional[EncoderMonitor] = None,
+                   verbose: bool = False) -> dict:
+    """All surviving candidates advance together through each warm-up phase
+    as one vmapped jitted program; per-candidate best snapshots are kept via
+    masked tree updates between validation windows."""
+    key = key if key is not None else jax.random.PRNGKey(1)
+    monitor = monitor or EncoderMonitor()
+    n = len(candidates)
+    stacked = _stack(candidates)
+    order = list(range(n))  # candidate ids, sorted by current loss
+
+    for idx_phase, wu_phase in enumerate(preset.warmup.phases):
+        ph = wu_phase.training_phase
+        keep = wu_phase.candidates
+        if keep < n:
+            keep_ids = order[:keep]
+            stacked = jax.tree_util.tree_map(
+                lambda x: x[jnp.asarray(keep_ids)], stacked)
+            n = keep
+            order = list(range(n))
+
+        fns = _make_fns(
+            fcfg, ph.quantizer_noise_type, ph.quantizer_type,
+            tuple(sorted(ph.dist_weight.items())), ph.lmbda,
+            tuple(ph.betas_model), tuple(ph.betas_latent),
+            ph.precondition_frequency_model, ph.freq_valid, refs is not None)
+
+        single = _index(stacked, 0)
+        opt1 = init_opt_state(single, fns["hp_weight"], fns["hp_latent"])
+        opt = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape).copy(), opt1)
+
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, n)
+
+        init_b = jax.jit(jax.vmap(
+            lambda p, o, k: fns["init_fn"](p, o, k, ph.softround_temperature[0],
+                                           ph.noise_parameter[0], target, refs, cr),
+            in_axes=(0, 0, 0)))
+        opt, keys = init_b(stacked, opt, keys)
+
+        pf = fns["pf"]
+
+        def window_one(params, opt_state, k, length_blocks, rem):
+            carry = (params, opt_state, k, jnp.float32(ph.lr),
+                     jnp.float32(ph.softround_temperature[0]),
+                     jnp.float32(ph.noise_parameter[0]), target, refs, cr)
+            if length_blocks > 0:
+                carry, _ = jax.lax.scan(fns["block"], carry, None, length=length_blocks)
+            if rem > 0:
+                carry, _ = jax.lax.scan(fns["plain_step"], carry, None, length=rem)
+            return carry[0], carry[1], carry[2]
+
+        from functools import partial
+
+        window_b = jax.jit(jax.vmap(
+            partial(window_one), in_axes=(0, 0, 0, None, None)),
+            static_argnums=(3, 4))
+        eval_b = jax.jit(jax.vmap(lambda p: fns["eval_fn"](p, target, refs, cr)))
+
+        best_loss = jnp.asarray(jax.vmap(lambda p: fns["eval_fn"](p, target, refs, cr).loss
+                                         )(stacked))
+        best_params = stacked
+
+        cnt = 0
+        n_windows = math.ceil(ph.max_itr / ph.freq_valid)
+        for _ in range(n_windows):
+            n_steps = min(ph.freq_valid, ph.max_itr - cnt)
+            stacked, opt, keys = window_b(stacked, opt, keys,
+                                          n_steps // pf, n_steps % pf)
+            cnt += n_steps
+            monitor.iterations_counter += n_steps * n
+            lo = eval_b(stacked)
+            improved = lo.loss < best_loss
+            best_loss = jnp.where(improved, lo.loss, best_loss)
+            best_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    improved.reshape((n,) + (1,) * (new.ndim - 1)), new, old),
+                stacked, best_params)
+
+        stacked = best_params
+        losses = [float(v) for v in best_loss]
+        rank = sorted(range(n), key=lambda i: losses[i])
+        stacked = jax.tree_util.tree_map(lambda x: x[jnp.asarray(rank)], stacked)
+        order = list(range(n))
+        if verbose:
+            ranked = ", ".join(f"{losses[i] * 1e3:.4f}" for i in rank)
+            print(f"  warmup phase {idx_phase}: candidate losses (1e-3) [{ranked}]",
+                  flush=True)
+
+    return _index(stacked, 0)
 
 
 def warmup(candidates: list[dict], preset: Preset, fcfg: FrameConfig, target, *,

@@ -47,7 +47,8 @@ def _roundtrip(frame, op_point: str, lmbda: float = 1e-3, tmp_path=None):
         INTRA_OPERATING_POINTS[op_point], (h, w))}
     preset = FastPreset(lmbda=lmbda, start_lr=1e-2, itr_main_training=50)
     path = str(tmp_path / "test.cool")
-    res = encode_image_to_bitstream(frame, cfgs, preset, path, seed=0, verbose=False)
+    res = encode_image_to_bitstream(frame, cfgs, preset, path, seed=0, verbose=False,
+                                    rdoq=False)
 
     frames = decode_video(path)
     dec = frames["0"]

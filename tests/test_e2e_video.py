@@ -54,7 +54,7 @@ def test_e2e_video_i_p(tmp_path):
     preset_i = FastVideoPreset(lmbda=1e-3, start_lr=1e-2, itr_main_training=50)
     r0 = encode_one_frame(cs.get_frame_from_coding_order(0), cs, VIDEO, workdir,
                           preset_i, {"residue": INTRA_OPERATING_POINTS["lop"]},
-                          verbose=False)
+                          verbose=False, rdoq=False)
 
     preset_p = FastVideoPreset(lmbda=1e-3, start_lr=1e-2, itr_main_training=50,
                                itr_motion_pretrain=20)
@@ -62,7 +62,7 @@ def test_e2e_video_i_p(tmp_path):
                           preset_p,
                           {"residue": RESIDUE_OPERATING_POINTS["lop"],
                            "motion": MOTION_OPERATING_POINTS["lop"]},
-                          verbose=False)
+                          verbose=False, rdoq=False)
 
     path = str(tmp_path / "vid.cool")
     with open(path, "wb") as f:

@@ -95,6 +95,18 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
     h, w = fdata.img_size
     is_image = video_path.endswith((".png", ".ppm"))
 
+    # Per-frame idempotence: resume from an existing checkpoint
+    # (reference cc_encode.py:363-419 skips already-encoded frames).
+    ckpt_path = os.path.join(workdir, f"{frame.display_order:04d}-frame_encoder.npz")
+    if os.path.exists(ckpt_path):
+        from coolchic_tpu.utils.checkpoint import load_frame_encoder
+
+        if verbose:
+            print(f"frame {frame.display_order}: resuming from {ckpt_path}", flush=True)
+        params, fcfg, nn_side_info = load_frame_encoder(ckpt_path)
+        return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
+                               fdata, workdir, is_image, verbose)
+
     # Decoded references from the workdir.
     refs_data = []
     for ref_idx in frame.index_references:
@@ -225,14 +237,38 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
         params[cc_name] = q_params
         nn_side_info[cc_name] = (q_shift, expgol)
 
-    logs = test(params, fcfg, target, refs=refs_arg, cr=cr,
-                dist_weight=phase0.dist_weight, lmbda=phase0.lmbda)
+    if verbose:
+        print(f"frame {frame.frame_type}{frame.display_order}: "
+              f"{monitor.iterations_counter} iters, "
+              f"{monitor.total_training_time_sec:.1f}s training", flush=True)
 
-    # ----- Bitstream + decoded frame for future references.
+    from coolchic_tpu.utils.checkpoint import save_frame_encoder
+
+    save_frame_encoder(ckpt_path, params, fcfg, nn_side_info)
+    return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
+                           fdata, workdir, is_image, verbose)
+
+
+def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dict,
+                    fcfg: FrameConfig, nn_side_info: dict, fdata: FrameData,
+                    workdir: str, is_image: bool, verbose: bool) -> dict:
+    """Bitstream write + decoded-frame save + final logs (shared between the
+    fresh-encode and resume-from-checkpoint paths)."""
+    from coolchic_tpu.models.frame import frame_cr_grids as _cr, frame_encoder_forward
+
+    refs_arg = None
+    if fcfg.frame_type != "I":
+        refs_arg = [jnp.asarray(_dense(load_frame_data_from_file(
+            os.path.join(workdir, _decoded_name(ref_idx, fdata, is_image)))))
+            for ref_idx in fcfg.index_references]
+    cr = _cr(fcfg)
+    target = _target_from_frame(fdata)
+    n_pixels = fdata.n_pixels
+
+    logs = test(params, fcfg, target, refs=refs_arg, cr=cr)
+
     payload = encode_frame(params, fcfg, coding_structure, nn_side_info,
                            is_first_frame=frame.coding_order == 0)
-
-    from coolchic_tpu.models.frame import frame_encoder_forward
 
     out = frame_encoder_forward(params, fcfg, reference_frames=refs_arg,
                                 training=False, cr=cr)
@@ -244,11 +280,18 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
     dec_path = os.path.join(workdir, _decoded_name(frame.display_order, fdata, is_image))
     save_frame_data_to_file(decoded, dec_path)
 
+    from coolchic_tpu.utils.results import write_frame_results
+
+    write_frame_results(
+        os.path.join(workdir, f"{frame.display_order:04d}-results_encoder.tsv"),
+        seq_name=frame.seq_name or os.path.basename(workdir), lmbda=0.0,
+        n_pixels=n_pixels, logs=logs, rate_bpp=8 * len(payload) / n_pixels,
+        extra={"frame_type": fcfg.frame_type, "n_bytes": len(payload)})
+
     if verbose:
-        print(f"frame {frame.frame_type}{frame.display_order}: "
+        print(f"frame {fcfg.frame_type}{frame.display_order}: "
               f"psnr {logs.psnr_db:.3f} dB, {8 * len(payload) / n_pixels:.4f} bpp "
-              f"({len(payload)} bytes), {monitor.iterations_counter} iters, "
-              f"{monitor.total_training_time_sec:.1f}s", flush=True)
+              f"({len(payload)} bytes)", flush=True)
 
     return {"payload": payload, "logs": logs, "decoded": decoded,
             "n_bytes": len(payload)}

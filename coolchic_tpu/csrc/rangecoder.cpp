@@ -130,6 +130,11 @@ struct Decoder {
         int s = invert_quantile(uint32_t(quantile), mu, b);
         uint32_t left = left_cum(s, mu, b);
         uint32_t prob = right_cum_minus_left(s, mu, b, left);
+        advance(scale, left, prob);
+        return s;
+    }
+
+    inline void advance(uint64_t scale, uint32_t left, uint32_t prob) {
         lower += scale * uint64_t(left);
         range = scale * uint64_t(prob);
         if (range < RENORM_LIMIT) {
@@ -137,7 +142,12 @@ struct Decoder {
             range <<= 32;
             point = (point << 32) | next();
         }
-        return s;
+    }
+
+    inline uint32_t quantile() const {
+        uint64_t scale = range >> PRECISION;
+        uint64_t q = (point - lower) / scale;
+        return q > QUANTILE_MAX ? QUANTILE_MAX : uint32_t(q);
     }
 };
 
@@ -156,6 +166,92 @@ inline void lookup(int64_t idx_mu, int64_t idx_sc, double* mu, double* sc) {
     if (idx_sc >= n_sc) idx_sc = n_sc - 1;
     *mu = double(g_mu_table[size_t(idx_mu)]);
     *sc = double(g_scale_table[size_t(idx_sc)]);
+}
+
+// ---------------------------------------------------------------------------
+// Per-scale exp tables. Every CDF evaluation during grid coding has the form
+// exp(((s +- 0.5) - mu) / b) where both s +- 0.5 and mu are exact multiples of
+// 2^-8 -- so exp only ever sees arguments m * 2^-8 (m integer <= 0). Caching
+// std::exp of those arguments per distinct scale removes ALL transcendental
+// calls from the per-symbol hot loop while remaining bit-identical (the
+// tabulated argument m * (1/256) is the same double as the direct
+// subtraction, both being exact).
+// ---------------------------------------------------------------------------
+constexpr int EXPTAB_MAX_M = 33024;  // covers |s*256 - 128 - mu_fp| for the full range
+constexpr int MAX_SCALE_TABLES = 96; // ~25 MB cap
+
+struct ScaleExpTable {
+    int idx_sc = -1;
+    double b = 0.0;
+    double inv_b = 0.0;
+    std::vector<double> tab;  // tab[m] = exp(-(m * 2^-8) / b), m in [0, EXPTAB_MAX_M]
+
+    void build(int idx, double scale) {
+        idx_sc = idx;
+        b = scale;
+        inv_b = 1.0 / scale;
+        tab.resize(EXPTAB_MAX_M + 1);
+        for (int m = 0; m <= EXPTAB_MAX_M; ++m) {
+            tab[size_t(m)] = std::exp((double(-m) * (1.0 / 256.0)) / scale);
+        }
+    }
+};
+
+struct ScaleTableCache {
+    std::vector<ScaleExpTable> tables;
+    int last = -1;  // index into tables of the most recently used entry
+
+    const ScaleExpTable* get(int64_t idx_sc_raw) {
+        int64_t n_sc = int64_t(g_scale_table.size());
+        int idx = int(idx_sc_raw < 0 ? 0 : (idx_sc_raw >= n_sc ? n_sc - 1 : idx_sc_raw));
+        if (last >= 0 && tables[size_t(last)].idx_sc == idx) return &tables[size_t(last)];
+        for (size_t i = 0; i < tables.size(); ++i) {
+            if (tables[i].idx_sc == idx) {
+                last = int(i);
+                return &tables[i];
+            }
+        }
+        if (int(tables.size()) >= MAX_SCALE_TABLES) return nullptr;  // fall back
+        tables.emplace_back();
+        tables.back().build(idx, double(g_scale_table[size_t(idx)]));
+        last = int(tables.size()) - 1;
+        return &tables.back();
+    }
+};
+
+// Laplace CDF at (s - 0.5) given mu = mu_fp * 2^-8: argument index
+// m = s*256 - 128 - mu_fp (sign decides the branch).
+inline double laplace_cdf_tab(int m, const ScaleExpTable* t) {
+    if (m < 0) return 0.5 * t->tab[size_t(-m)];
+    return 1.0 - 0.5 * t->tab[size_t(m)];
+}
+
+inline uint32_t left_cum_tab(int s, int mu_fp, const ScaleExpTable* t) {
+    if (s <= SYM_MIN) return 0;
+    int m = s * 256 - 128 - mu_fp;
+    return uint32_t(FREE_WEIGHT * laplace_cdf_tab(m, t)) + uint32_t(s - SYM_MIN);
+}
+
+inline uint32_t right_cum_minus_left_tab(int s, int mu_fp, const ScaleExpTable* t,
+                                         uint32_t left) {
+    if (s >= SYM_MAX) return uint32_t((1u << PRECISION) - left);
+    int m = s * 256 + 128 - mu_fp;
+    uint32_t right = uint32_t(FREE_WEIGHT * laplace_cdf_tab(m, t)) + uint32_t(s - SYM_MIN) + 1;
+    return right - left;
+}
+
+inline int invert_quantile_tab(uint32_t quantile, double mu, int mu_fp,
+                               const ScaleExpTable* t) {
+    double p = (double(quantile) + 0.5) / double(1u << PRECISION);
+    double x;
+    if (p < 0.5) x = mu + t->b * std::log(2.0 * p);
+    else x = mu - t->b * std::log(2.0 - 2.0 * p);
+    int s = int(std::lround(x));
+    if (s < SYM_MIN) s = SYM_MIN;
+    if (s > SYM_MAX) s = SYM_MAX;
+    while (s > SYM_MIN && left_cum_tab(s, mu_fp, t) > quantile) --s;
+    while (s < SYM_MAX && left_cum_tab(s + 1, mu_fp, t) <= quantile) ++s;
+    return s;
 }
 
 // ---------------------------------------------------------------------------
@@ -396,6 +492,8 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
 
     Encoder* enc = is_encode ? static_cast<Encoder*>(coder) : nullptr;
     Decoder* dec = is_encode ? nullptr : static_cast<Decoder*>(coder);
+    ScaleTableCache scale_cache;
+    int64_t n_mu = int64_t(g_mu_table.size());
 
     int err = 0;
     wavefront_walk(h, w, [&](int pos) {
@@ -410,26 +508,53 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
         }
         int64_t out2[2];
         arm.forward(ctx, out2, OUTPUT_SHIFT);
-        double mu, sc;
-        lookup(out2[0] - MU_MIN_FP, out2[1] - LOG_SCALE_MIN_FP, &mu, &sc);
+
+        int64_t idx_mu = out2[0] - MU_MIN_FP;
+        if (idx_mu < 0) idx_mu = 0;
+        if (idx_mu >= n_mu) idx_mu = n_mu - 1;
+        int mu_fp = int(idx_mu) + int(MU_MIN_FP);
+        double mu = double(g_mu_table[size_t(idx_mu)]);
+        const ScaleExpTable* t = scale_cache.get(out2[1] - LOG_SCALE_MIN_FP);
 
         int y = pos / w_pad - PAD;
         int x = pos % w_pad - PAD;
+        uint32_t left, prob;
+        int s;
         if (is_encode) {
-            int64_t s = data[size_t(y) * w + x];
-            if (s < SYM_MIN || s > SYM_MAX) {
+            int64_t sv = data[size_t(y) * w + x];
+            if (sv < SYM_MIN || sv > SYM_MAX) {
                 err = -2;
                 return;
             }
-            uint32_t left = left_cum(int(s), mu, sc);
-            uint32_t prob = right_cum_minus_left(int(s), mu, sc, left);
+            s = int(sv);
+            if (t != nullptr) {
+                left = left_cum_tab(s, mu_fp, t);
+                prob = right_cum_minus_left_tab(s, mu_fp, t, left);
+            } else {
+                double sc;
+                lookup(idx_mu, out2[1] - LOG_SCALE_MIN_FP, &mu, &sc);
+                left = left_cum(s, mu, sc);
+                prob = right_cum_minus_left(s, mu, sc, left);
+            }
             enc->encode(left, prob);
-            buf[size_t(pos)] = s;
         } else {
-            int s = dec->decode(mu, sc);
-            buf[size_t(pos)] = s;
-            data[size_t(y) * w + x] = s;
+            uint64_t scale64 = dec->range >> PRECISION;
+            uint32_t quantile = dec->quantile();
+            if (t != nullptr) {
+                s = invert_quantile_tab(quantile, mu, mu_fp, t);
+                left = left_cum_tab(s, mu_fp, t);
+                prob = right_cum_minus_left_tab(s, mu_fp, t, left);
+            } else {
+                double sc;
+                lookup(idx_mu, out2[1] - LOG_SCALE_MIN_FP, &mu, &sc);
+                s = invert_quantile(quantile, mu, sc);
+                left = left_cum(s, mu, sc);
+                prob = right_cum_minus_left(s, mu, sc, left);
+            }
+            dec->advance(scale64, left, prob);
         }
+        buf[size_t(pos)] = s;
+        if (!is_encode) data[size_t(y) * w + x] = s;
     });
     return err;
 }

@@ -87,6 +87,10 @@ def interpolate(x: jnp.ndarray, size: tuple[int, int], mode: str) -> jnp.ndarray
     if (h_in, w_in) == (h_out, w_out) and mode != "bicubic":
         return x
     if mode == "nearest":
+        if (h_out, w_out) == (2 * h_in, 2 * w_in):
+            # Exact x2: repeat (cheap forward, reshape-sum backward) instead
+            # of a gather (scatter backward).
+            return jnp.repeat(jnp.repeat(x, 2, axis=-2), 2, axis=-1)
         iy = _nearest_index_np(h_in, h_out)
         ix = _nearest_index_np(w_in, w_out)
         return x[..., iy, :][..., :, ix]

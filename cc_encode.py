@@ -62,12 +62,21 @@ def main() -> int:
         print(f"no frame with coding_idx {args.coding_idx}")
         return 1
 
+    if args.tune == "wasserstein":
+        if args.input.endswith(".yuv"):
+            print("--tune=wasserstein cannot be used with YUV files; use --tune=mse")
+            return 1
+        # Empirical weighting ("Perceptually optimised Cool-chic for CLIC 2025").
+        dist_weight = {"mse": 0.2, "wasserstein": 0.8 / 200}
+    else:
+        dist_weight = {"mse": 1.0}
+
     recipe = args.recipe
     if recipe == "auto":
         recipe = "intra" if frame.frame_type == "I" else "inter"
     preset = AVAILABLE_PRESETS[recipe](
         lmbda=args.lmbda, start_lr=args.start_lr, itr_main_training=args.n_itr,
-        itr_motion_pretrain=args.n_itr_pretrain_motion)
+        itr_motion_pretrain=args.n_itr_pretrain_motion, dist_weight=dist_weight)
 
     def op_point(table, name):
         if name in table:
@@ -81,7 +90,7 @@ def main() -> int:
                     "motion": op_point(MOTION_OPERATING_POINTS, args.dec_cfg_motion)}
 
     res = encode_one_frame(frame, cs, args.input, workdir, preset, cfg_args,
-                           seed=args.seed, verbose=args.verbose > 0)
+                           seed=args.seed, verbose=args.verbose > 0, tune=args.tune)
 
     mode = "wb" if frame.coding_order == 0 else "ab"
     with open(args.output, mode) as f:

@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstring>
 #include <vector>
+#include <memory>
 
 namespace {
 
@@ -178,61 +179,67 @@ inline void lookup(int64_t idx_mu, int64_t idx_sc, double* mu, double* sc) {
 // subtraction, both being exact).
 // ---------------------------------------------------------------------------
 constexpr int EXPTAB_MAX_M = 33024;  // covers |s*256 - 128 - mu_fp| for the full range
-constexpr int MAX_SCALE_TABLES = 96; // ~25 MB cap
+constexpr int MAX_SCALE_TABLES = 512;  // ~135 MB hard cap on memo memory
 
 struct ScaleExpTable {
-    int idx_sc = -1;
     double b = 0.0;
-    double inv_b = 0.0;
-    std::vector<double> tab;  // tab[m] = exp(-(m * 2^-8) / b), m in [0, EXPTAB_MAX_M]
+    std::vector<double> tab;  // lazily memoized exp(-(m * 2^-8) / b), -1 = unset
 
-    void build(int idx, double scale) {
-        idx_sc = idx;
+    void init(double scale) {
         b = scale;
-        inv_b = 1.0 / scale;
-        tab.resize(EXPTAB_MAX_M + 1);
-        for (int m = 0; m <= EXPTAB_MAX_M; ++m) {
-            tab[size_t(m)] = std::exp((double(-m) * (1.0 / 256.0)) / scale);
+        tab.assign(EXPTAB_MAX_M + 1, -1.0);
+    }
+
+    inline double expm(int m) {  // m >= 0
+        double v = tab[size_t(m)];
+        if (v < 0.0) {
+            v = std::exp((double(-m) * (1.0 / 256.0)) / b);
+            tab[size_t(m)] = v;
         }
+        return v;
     }
 };
 
+// Global: tables depend only on the normative scale table, so the memo is
+// shared across grids / frames / images within the process.
 struct ScaleTableCache {
-    std::vector<ScaleExpTable> tables;
-    int last = -1;  // index into tables of the most recently used entry
+    std::vector<std::unique_ptr<ScaleExpTable>> slots;
 
-    const ScaleExpTable* get(int64_t idx_sc_raw) {
+    ScaleExpTable* get(int64_t idx_sc_raw) {
         int64_t n_sc = int64_t(g_scale_table.size());
-        int idx = int(idx_sc_raw < 0 ? 0 : (idx_sc_raw >= n_sc ? n_sc - 1 : idx_sc_raw));
-        if (last >= 0 && tables[size_t(last)].idx_sc == idx) return &tables[size_t(last)];
-        for (size_t i = 0; i < tables.size(); ++i) {
-            if (tables[i].idx_sc == idx) {
-                last = int(i);
-                return &tables[i];
-            }
+        if (n_sc == 0) return nullptr;
+        size_t idx = size_t(idx_sc_raw < 0 ? 0 : (idx_sc_raw >= n_sc ? n_sc - 1 : idx_sc_raw));
+        if (slots.size() != size_t(n_sc)) {
+            slots.clear();
+            slots.resize(size_t(n_sc));
         }
-        if (int(tables.size()) >= MAX_SCALE_TABLES) return nullptr;  // fall back
-        tables.emplace_back();
-        tables.back().build(idx, double(g_scale_table[size_t(idx)]));
-        last = int(tables.size()) - 1;
-        return &tables.back();
+        if (!slots[idx]) {
+            int n_live = 0;
+            for (auto& s : slots) n_live += bool(s);
+            if (n_live >= MAX_SCALE_TABLES) return nullptr;  // fall back to direct exp
+            slots[idx] = std::make_unique<ScaleExpTable>();
+            slots[idx]->init(double(g_scale_table[idx]));
+        }
+        return slots[idx].get();
     }
 };
+
+ScaleTableCache g_scale_cache;
 
 // Laplace CDF at (s - 0.5) given mu = mu_fp * 2^-8: argument index
 // m = s*256 - 128 - mu_fp (sign decides the branch).
-inline double laplace_cdf_tab(int m, const ScaleExpTable* t) {
-    if (m < 0) return 0.5 * t->tab[size_t(-m)];
-    return 1.0 - 0.5 * t->tab[size_t(m)];
+inline double laplace_cdf_tab(int m, ScaleExpTable* t) {
+    if (m < 0) return 0.5 * t->expm(-m);
+    return 1.0 - 0.5 * t->expm(m);
 }
 
-inline uint32_t left_cum_tab(int s, int mu_fp, const ScaleExpTable* t) {
+inline uint32_t left_cum_tab(int s, int mu_fp, ScaleExpTable* t) {
     if (s <= SYM_MIN) return 0;
     int m = s * 256 - 128 - mu_fp;
     return uint32_t(FREE_WEIGHT * laplace_cdf_tab(m, t)) + uint32_t(s - SYM_MIN);
 }
 
-inline uint32_t right_cum_minus_left_tab(int s, int mu_fp, const ScaleExpTable* t,
+inline uint32_t right_cum_minus_left_tab(int s, int mu_fp, ScaleExpTable* t,
                                          uint32_t left) {
     if (s >= SYM_MAX) return uint32_t((1u << PRECISION) - left);
     int m = s * 256 + 128 - mu_fp;
@@ -241,7 +248,7 @@ inline uint32_t right_cum_minus_left_tab(int s, int mu_fp, const ScaleExpTable* 
 }
 
 inline int invert_quantile_tab(uint32_t quantile, double mu, int mu_fp,
-                               const ScaleExpTable* t) {
+                               ScaleExpTable* t) {
     double p = (double(quantile) + 0.5) / double(1u << PRECISION);
     double x;
     if (p < 0.5) x = mu + t->b * std::log(2.0 * p);
@@ -492,7 +499,6 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
 
     Encoder* enc = is_encode ? static_cast<Encoder*>(coder) : nullptr;
     Decoder* dec = is_encode ? nullptr : static_cast<Decoder*>(coder);
-    ScaleTableCache scale_cache;
     int64_t n_mu = int64_t(g_mu_table.size());
 
     int err = 0;
@@ -514,7 +520,7 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
         if (idx_mu >= n_mu) idx_mu = n_mu - 1;
         int mu_fp = int(idx_mu) + int(MU_MIN_FP);
         double mu = double(g_mu_table[size_t(idx_mu)]);
-        const ScaleExpTable* t = scale_cache.get(out2[1] - LOG_SCALE_MIN_FP);
+        ScaleExpTable* t = g_scale_cache.get(out2[1] - LOG_SCALE_MIN_FP);
 
         int y = pos / w_pad - PAD;
         int x = pos % w_pad - PAD;

@@ -25,7 +25,7 @@ from coolchic_tpu.nnquant.quantize import quantize_coolchic
 from coolchic_tpu.train.loss import loss_function
 from coolchic_tpu.train.presets import Preset
 from coolchic_tpu.train.train import EncoderMonitor, _make_fns, logs_from_loss, test, train
-from coolchic_tpu.train.warmup import warmup
+from coolchic_tpu.train.warmup import warmup, warmup_batched
 from coolchic_tpu.utils.codingstructure import CodingStructure
 
 
@@ -74,8 +74,13 @@ def encode_image(frame: FrameData, cfgs: dict[str, CoolChicConfig], preset: Pres
                   for i in range(n_candidates)]
     if preset.warmup.phases:
         t0 = time.time()
-        params = warmup(candidates, preset, fcfg, target, cr=cr, key=key,
-                        monitor=monitor, verbose=verbose)
+        import jax as _jax
+
+        # On accelerators, run all candidates as one vmapped program.
+        wu = warmup_batched if (_jax.default_backend() != "cpu"
+                                and len(candidates) > 1) else warmup
+        params = wu(candidates, preset, fcfg, target, cr=cr, key=key,
+                    monitor=monitor, verbose=verbose)
         if verbose:
             print(f"warm-up done in {time.time() - t0:.1f}s", flush=True)
     else:

@@ -184,7 +184,8 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
     def eval_fn(params, target, refs, cr):
         out = frame_encoder_forward(params, fcfg, reference_frames=refs,
                                     training=False, cr=cr)
-        return loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda)
+        return loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda,
+                             wasserstein_fn=wd_fn)
 
     return {"train_window": train_window, "eval_fn": eval_fn,
             "hp_weight": hp_weight, "hp_latent": hp_latent,

@@ -34,7 +34,7 @@ from coolchic_tpu.nnquant.quantize import quantize_coolchic
 from coolchic_tpu.train.encode import _target_from_frame, img_min_max
 from coolchic_tpu.train.presets import AVAILABLE_PRESETS, Preset
 from coolchic_tpu.train.train import EncoderMonitor, _make_fns, test, train
-from coolchic_tpu.train.warmup import warmup
+from coolchic_tpu.train.warmup import warmup, warmup_batched
 from coolchic_tpu.utils.codingstructure import CodingStructure, Frame
 from coolchic_tpu.utils.parsecli import (
     INTRA_OPERATING_POINTS,
@@ -86,7 +86,7 @@ def guided_motion_pretraining(target_flows: list[np.ndarray], motion_cfg, preset
 def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path: str,
                      workdir: str, preset: Preset, cfg_args: dict[str, dict],
                      warp_filter_size: int = 8, seed: int = 0, verbose: bool = True,
-                     rdoq: bool = True) -> dict:
+                     rdoq: bool = True, tune: str = "mse") -> dict:
     """Encode one frame; returns {bitstream bytes, logs}. Decoded refs are
     read from (and this frame's decoded output written to) the workdir."""
     frame.set_frame_data(load_frame_data_from_file(
@@ -120,7 +120,7 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
         if frame.frame_type == "I" and name == "motion":
             continue
         cfgs[name] = coolchic_config_from_args(args, (h, w), coolchic_name=name,
-                                               frame_type=frame.frame_type)
+                                               frame_type=frame.frame_type, tune=tune)
 
     # lambda-adaptive encoder gain for intra (reference video.py:80-91).
     if frame.frame_type == "I":
@@ -194,8 +194,10 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
 
     refs_arg = refs_dense if frame.frame_type != "I" else None
     if preset.warmup.phases:
-        params = warmup(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
-                        key=key, monitor=monitor, verbose=verbose)
+        wu = warmup_batched if (jax.default_backend() != "cpu"
+                                and len(candidates) > 1) else warmup
+        params = wu(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
+                    key=key, monitor=monitor, verbose=verbose)
     else:
         params = candidates[0]
 

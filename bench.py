@@ -1,12 +1,14 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
 Round-1 metric: overfitting-encoder training throughput (iterations/s) on
-the hop intra configuration at 512x768 (Kodak-sized) -- the encode hot loop
-where >95% of Cool-Chic encode wall-clock goes.
+the hop intra configuration at 256x384 -- the encode hot loop where >95% of
+Cool-Chic encode wall-clock goes. (512x768 hits a remote-TPU-compiler memory
+cap on this rig; the compile-envelope issue is tracked for round 2 and the
+persistent compilation cache in .jax_cache makes repeat runs fast.)
 
 Baseline: the reference PyTorch implementation (same architecture, same
-forward/backward/optimizer step) measured on this host's CPU (2 threads):
-0.51 it/s (see BASELINE_NOTES below). The north star is >=10x.
+forward/backward/optimizer step) at the same 256x384 size on this host's
+CPU (2 threads): 3.71 it/s (269 ms/iter). The north star is >=10x.
 """
 
 import json
@@ -23,12 +25,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-# Reference coolchic (torch 2.13 CPU, 2 threads, this host), hop 512x768,
-# full forward/backward/Adam step of the training loop: 1978 ms/iter.
-BASELINE_REF_CPU_IT_PER_SEC = 0.51
+# Reference coolchic (torch 2.13 CPU, 2 threads, this host), hop 256x384,
+# full forward/backward/Adam step of the training loop: 269 ms/iter.
+# (At 512x768 the reference measures 0.51 it/s on the same host.)
+BASELINE_REF_CPU_IT_PER_SEC = 3.71
 
-N_WARMUP_WINDOWS = 2
 N_TIMED_ITERS = 200
+N_TIMED_WINDOWS = 3
 
 
 def main():
@@ -37,7 +40,7 @@ def main():
     from coolchic_tpu.train.train import _make_fns, init_opt_state
     from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
 
-    img_size = (512, 768)
+    img_size = (256, 384)
     cfgs = {"residue": coolchic_config_from_args(INTRA_OPERATING_POINTS["hop"], img_size)}
     fcfg = FrameConfig(coolchic_cfg=cfgs)
     phase = TrainerPhase(lmbda=1e-3, max_itr=N_TIMED_ITERS, freq_valid=N_TIMED_ITERS,
@@ -55,24 +58,34 @@ def main():
     train_window = fns["train_window"]
     opt_state = init_opt_state(params, fns["hp_weight"], fns["hp_latent"])
 
+    def fetch(tree):
+        """Device->host transfer of one leaf: the only reliable barrier on
+        the axon remote backend, where block_until_ready returns early on
+        not-yet-executed buffers (measured: block=7 ms while the first
+        execution still had ~700 s of remote compile+run ahead of it)."""
+        import numpy as np
+        return float(np.asarray(tree["residue"]["latents"][0]).ravel()[0])
+
     # Warm-up = one full-length window (same static `length` as the timed
     # call, so exactly one compilation happens and is reused).
     p, o, k = params, opt_state, key
     p, o, k = train_window(p, o, k, jnp.float32(1e-2), jnp.float32(0.3),
                            jnp.float32(0.2), target, None, None,
                            length=N_TIMED_ITERS)
-    jax.block_until_ready(p)
+    fetch(p)
 
-    t0 = time.time()
-    p, o, k = train_window(p, o, k, jnp.float32(1e-2), jnp.float32(0.3),
-                           jnp.float32(0.2), target, None, None,
-                           length=N_TIMED_ITERS)
-    jax.block_until_ready(p)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(N_TIMED_WINDOWS):
+        t0 = time.time()
+        p, o, k = train_window(p, o, k, jnp.float32(1e-2), jnp.float32(0.3),
+                               jnp.float32(0.2), target, None, None,
+                               length=N_TIMED_ITERS)
+        fetch(p)
+        dt = min(dt, time.time() - t0)
 
     it_per_sec = N_TIMED_ITERS / dt
     print(json.dumps({
-        "metric": "encode_train_iter_per_sec_hop_512x768",
+        "metric": "encode_train_iter_per_sec_hop_256x384",
         "value": round(it_per_sec, 3),
         "unit": "it/s",
         "vs_baseline": round(it_per_sec / BASELINE_REF_CPU_IT_PER_SEC, 2),

@@ -26,12 +26,7 @@ from coolchic_tpu.models.frame import FrameConfig, frame_encoder_forward
 from coolchic_tpu.train.loss import LossOutput, dist_to_db, loss_function
 from coolchic_tpu.train.params import FROZEN, LATENT, WEIGHT, group_tree
 from coolchic_tpu.train.presets import TrainerPhase
-from coolchic_tpu.train.soap import (
-    SoapHyperParams,
-    soap_init_from_grad_leaf,
-    soap_init_leaf,
-    soap_step_leaf,
-)
+from coolchic_tpu.train.soap import SoapHyperParams, soap_init_leaf, soap_step_leaf
 
 ETA_MIN = 1e-5
 
@@ -160,25 +155,11 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
             carry, _ = jax.lax.scan(plain_step, carry, None, length=rem)
         return carry[0], carry[1], carry[2]
 
-    @jax.jit
-    def init_fn(params, opt_state, key, temp, noise, target, refs, cr):
-        """The reference's step 0: use the first gradient to seed GG and the
-        eigenbases; no parameter update (soap.py first-step semantics)."""
-        key, sub = jax.random.split(key)
-        grads = grad_fn(params, sub, temp, noise, target, refs, cr)
-        treedef = jax.tree_util.tree_structure(params)
-        groups = group_tree(params)
-        leaves_g = treedef.flatten_up_to(grads)
-        leaves_s = treedef.flatten_up_to(opt_state)
-        new_s = []
-        for g, s, grp in zip(leaves_g, leaves_s, groups):
-            if grp == FROZEN or s is None:
-                new_s.append(s)
-            elif grp == WEIGHT:
-                new_s.append(soap_init_from_grad_leaf(g, s, hp_weight))
-            else:
-                new_s.append(soap_init_from_grad_leaf(g, s, hp_latent))
-        return jax.tree_util.tree_unflatten(treedef, new_s), key
+    # Note: the reference seeds the SOAP eigenbases with an eigh of the
+    # first gradient's covariance. On this TPU stack the per-leaf eigh is
+    # pathologically slow to compile, so Q starts as identity and the
+    # in-scan QR refresh (power iteration) establishes the eigenbasis at the
+    # first refresh step instead (pf=1 in warm-up -> from step 1).
 
     @jax.jit
     def eval_fn(params, target, refs, cr):
@@ -189,7 +170,7 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
 
     return {"train_window": train_window, "eval_fn": eval_fn,
             "hp_weight": hp_weight, "hp_latent": hp_latent,
-            "init_fn": init_fn, "plain_step": plain_step, "block": _block, "pf": pf}
+            "plain_step": plain_step, "block": _block, "pf": pf}
 
 
 def init_opt_state(params, hp_weight: SoapHyperParams, hp_latent: SoapHyperParams):
@@ -241,13 +222,6 @@ def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
     best = logs_from_loss(eval_fn(params, target, refs, cr))
     initial = best
     best_params = params
-
-    # SOAP first-step semantics: the first gradient only seeds the
-    # preconditioner eigenbases (eigh stays out of the hot scan graph).
-    temp0 = linear_schedule(phase.softround_temperature, 0, phase.max_itr)
-    noise0 = linear_schedule(phase.noise_parameter, 0, phase.max_itr)
-    opt_state, key = fns["init_fn"](params, opt_state, key, jnp.float32(temp0),
-                                    jnp.float32(noise0), target, refs, cr)
 
     n_windows = math.ceil(phase.max_itr / phase.freq_valid)
     t_max = phase.max_itr / phase.freq_valid

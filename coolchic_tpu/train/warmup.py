@@ -72,13 +72,6 @@ def warmup_batched(candidates: list[dict], preset: Preset, fcfg: FrameConfig, ta
 
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, n)
-
-        init_b = jax.jit(jax.vmap(
-            lambda p, o, k: fns["init_fn"](p, o, k, ph.softround_temperature[0],
-                                           ph.noise_parameter[0], target, refs, cr),
-            in_axes=(0, 0, 0)))
-        opt, keys = init_b(stacked, opt, keys)
-
         pf = fns["pf"]
 
         def window_one(params, opt_state, k, length_blocks, rem):

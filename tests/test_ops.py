@@ -146,3 +146,23 @@ def test_common_randomness_matches_reference_lcg():
         u2 = seed / m
         expected.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * 3.14159265359 * u2))
     np.testing.assert_allclose(vals.reshape(-1), np.float32(expected), rtol=1e-6)
+
+
+def test_spatial_context_conv_grad_matches_slices():
+    """The conv-based context extraction must match the slice-stack variant
+    in value AND gradient."""
+    import jax
+    from coolchic_tpu.ops.context import spatial_context_slices
+
+    x = rand(10, 12)
+    n_ctx = 14
+
+    def f_conv(g):
+        return (spatial_context(g, n_ctx) ** 2).sum()
+
+    def f_slices(g):
+        return (spatial_context_slices(g, n_ctx) ** 2).sum()
+
+    g1 = jax.grad(f_conv)(jnp.asarray(x))
+    g2 = jax.grad(f_slices)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-6)

@@ -6,19 +6,19 @@ residual pre-filter to the higher-resolution grid before concatenation.
 Kernels are parameterized by their half (symmetry is structural, so the
 bitstream only carries (k+1)//2 taps per filter).
 
-Reference parity: coolchic/component/core/upsampling.py:19-595. The "train
-with a full 2-D kron kernel / eval with two 1-D passes" distinction is kept:
-the 2-D variant has better-behaved gradients, the separable one is the
-cheaper decode path.
+Reference parity: coolchic/component/core/upsampling.py:19-595. The
+reference's train (2-D kron conv) and eval (two 1-D passes) variants are the
+same linear operator; here both run as the MXU matmul formulation (see the
+"Matmul formulation" section below).
 """
 
 from __future__ import annotations
 
-import jax
+from functools import lru_cache
+
 import jax.numpy as jnp
 import numpy as np
 
-from coolchic_tpu.ops.convs import conv2d, conv_transpose2d_stride2, replicate_pad
 from coolchic_tpu.ops.resize import interpolate_x2
 
 # Half of the symmetric bicubic x2 kernel used as the >=8 taps init
@@ -61,60 +61,87 @@ def upsampling_init(ups_k_size: int, ups_preconcat_k_size: int, n_ups: int) -> d
     }
 
 
-def _tconv_x2(x: jnp.ndarray, half: jnp.ndarray, k: int, training: bool) -> jnp.ndarray:
-    """Upsample [B, 1, H, W] -> [B, 1, 2H, 2W] with the symmetric kernel."""
-    w1d = symmetric_kernel_1d(half, k)
+# ---------------------------------------------------------------------------
+# Matmul (MXU) formulation of the separable chains.
+#
+# A 1-channel conv / transposed conv with lhs_dilation is the single worst
+# op class for XLA-TPU (no MXU use, dilated sliding windows on the VPU):
+# measured 27 ms of a 31 ms forward at 256x384. Each 1-D chain
+# (replicate-pad -> stride-2 tconv -> crop, or zero-pad -> stride-1 conv) is
+# linear in the input AND linear in the symmetric half-kernel, so it is
+# exactly  y = (sum_t half[t] * B_t) @ x  with constant 0/1-ish basis
+# matrices B_t -- two dense matmuls per 2-D op, fully on the MXU, still
+# differentiable w.r.t. the half taps.
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=None)
+def _tconv_mm_basis(n_in: int, k: int) -> np.ndarray:
+    """[hk, 2*n_in, n_in] basis of the 1-D replicate-pad/x2-tconv/crop chain.
+
+    Chain semantics (torch parity, reference upsampling.py:287-345):
+    pad p0=k//2 replicate; y[m] = sum_u w[k-1-u] * dilated(x_pad)[m+u-(k-1)];
+    crop 2*p0-1+k//2 per side. w is the symmetrized half kernel.
+    """
     p0 = k // 2
     crop = 2 * p0 - 1 + k // 2
+    hk = (k + 1) // 2
+    n_pad = n_in + 2 * p0
+    out = np.zeros((hk, 2 * n_in, n_in), dtype=np.float32)
+    for m_f in range(2 * n_in):
+        m = m_f + crop
+        for u in range(k):
+            v = m + u - (k - 1)
+            if v < 0 or v >= 2 * n_pad - 1 or v % 2:
+                continue
+            src = min(max(v // 2 - p0, 0), n_in - 1)
+            w_idx = k - 1 - u
+            t = w_idx if w_idx < hk else k - 1 - w_idx
+            out[t, m_f, src] += 1.0
+    return out
 
-    if training:
-        k2d = jnp.outer(w1d, w1d).reshape(1, 1, k, k)
-        x_pad = replicate_pad(x, (p0, p0, p0, p0))
-        y = conv_transpose2d_stride2(x_pad, k2d)
-        return y[:, :, crop:y.shape[2] - crop, crop:y.shape[3] - crop]
 
-    # Eval: two separable 1-D passes (the decode-complexity path).
-    x_pad = replicate_pad(x, (p0, p0, 0, 0))
-    y = _tconv1d(x_pad, w1d, axis=3)
-    y = y[:, :, :, crop:y.shape[3] - crop]
-    y_pad = replicate_pad(y, (0, 0, p0, p0))
-    y = _tconv1d(y_pad, w1d, axis=2)
-    return y[:, :, crop:y.shape[2] - crop, :]
+@lru_cache(maxsize=None)
+def _conv_mm_basis(n_in: int, k: int) -> np.ndarray:
+    """[hk, n_in, n_in] basis of 1-D zero-padded stride-1 cross-correlation."""
+    pad = k // 2
+    hk = (k + 1) // 2
+    out = np.zeros((hk, n_in, n_in), dtype=np.float32)
+    for i in range(n_in):
+        for u in range(k):
+            j = i + u - pad
+            if j < 0 or j >= n_in:
+                continue
+            t = u if u < hk else k - 1 - u
+            out[t, i, j] += 1.0
+    return out
 
 
-def _tconv1d(x: jnp.ndarray, w1d: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """1-D stride-2 transposed conv along H (axis=2) or W (axis=3)."""
-    k = w1d.shape[0]
-    if axis == 3:
-        kernel = jnp.flip(w1d).reshape(1, 1, 1, k)
-        pad = [(0, 0), (k - 1, k - 1)]
-        dil = (1, 2)
-    else:
-        kernel = jnp.flip(w1d).reshape(1, 1, k, 1)
-        pad = [(k - 1, k - 1), (0, 0)]
-        dil = (2, 1)
-    return jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding=pad, lhs_dilation=dil,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), preferred_element_type=jnp.float32,
-    )
+def _sep_matrices(half: jnp.ndarray, basis_fn, sizes: tuple[int, int], k: int):
+    bh = jnp.asarray(basis_fn(sizes[0], k))
+    bw = jnp.asarray(basis_fn(sizes[1], k))
+    return jnp.einsum("t,tij->ij", half, bh), jnp.einsum("t,tij->ij", half, bw)
+
+
+def _tconv_x2(x: jnp.ndarray, half: jnp.ndarray, k: int, training: bool) -> jnp.ndarray:
+    """Upsample [B, 1, H, W] -> [B, 1, 2H, 2W] with the symmetric kernel.
+
+    `training` kept for signature parity: train (2-D kron conv) and eval
+    (two separable 1-D passes) are the same linear operator; both run as the
+    matmul formulation here.
+    """
+    th, tw = _sep_matrices(half, _tconv_mm_basis, x.shape[-2:], k)
+    y = jnp.einsum("oh,bchw->bcow", th, x)
+    return jnp.einsum("ow,bchw->bcho", tw, y)
 
 
 def _preconcat(x: jnp.ndarray, half: jnp.ndarray, k: int, training: bool) -> jnp.ndarray:
-    """Residual symmetric filtering of [B, 1, H, W] (zero padding)."""
+    """Residual symmetric filtering of [B, 1, H, W] (zero padding), as two
+    dense matmuls (see _tconv_x2)."""
     if x.shape[1] == 0:
         return x
-    w1d = symmetric_kernel_1d(half, k)
-    pad = k // 2
-    if training:
-        k2d = jnp.outer(w1d, w1d).reshape(1, 1, k, k)
-        return conv2d(x, k2d, padding=pad) + x
-    yw = jax.lax.conv_general_dilated(
-        x, w1d.reshape(1, 1, 1, k), (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), preferred_element_type=jnp.float32)
-    yh = jax.lax.conv_general_dilated(
-        yw, w1d.reshape(1, 1, k, 1), (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), preferred_element_type=jnp.float32)
-    return yh + x
+    ch, cw = _sep_matrices(half, _conv_mm_basis, x.shape[-2:], k)
+    y = jnp.einsum("oh,bchw->bcow", ch, x)
+    y = jnp.einsum("ow,bchw->bcho", cw, y)
+    return y + x
 
 
 def upsampling_apply(params: dict, grids: list[jnp.ndarray], ups_k_size: int,

@@ -16,7 +16,9 @@ def main() -> int:
     args = p.parse_args()
 
     from coolchic_tpu.bitstream.decode import decode_video
+    from coolchic_tpu.utils.jaxcache import enable_persistent_cache
 
+    enable_persistent_cache()
     decode_video(args.input, decoded_path=args.output, verbosity=args.verbosity)
     print(f"decoded {args.input} -> {args.output}")
     return 0

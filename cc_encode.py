@@ -41,6 +41,10 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from coolchic_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from coolchic_tpu.train.presets import AVAILABLE_PRESETS
     from coolchic_tpu.train.video import encode_one_frame
     from coolchic_tpu.utils.codingstructure import CodingStructure

@@ -15,9 +15,16 @@
 
 #include <cstdint>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 #include <memory>
+
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -170,57 +177,35 @@ inline void lookup(int64_t idx_mu, int64_t idx_sc, double* mu, double* sc) {
 }
 
 // ---------------------------------------------------------------------------
-// Per-scale exp tables. Every CDF evaluation during grid coding has the form
-// exp(((s +- 0.5) - mu) / b) where both s +- 0.5 and mu are exact multiples of
-// 2^-8 -- so exp only ever sees arguments m * 2^-8 (m integer <= 0). Caching
-// std::exp of those arguments per distinct scale removes ALL transcendental
-// calls from the per-symbol hot loop while remaining bit-identical (the
-// tabulated argument m * (1/256) is the same double as the direct
-// subtraction, both being exact).
+// Integer-argument CDF evaluation. Every CDF evaluation during grid coding
+// has the form exp(((s +- 0.5) - mu) / b) where both s +- 0.5 and mu are
+// exact multiples of 2^-8, so the subtraction is exact and the tabulated
+// argument m * (1/256) is the same double as the direct subtraction. Calling
+// std::exp directly on it is bit-identical to the generic path AND faster
+// than any per-scale memo (hundreds of scales are live per grid, so a memo
+// thrashes the cache).
 // ---------------------------------------------------------------------------
-constexpr int EXPTAB_MAX_M = 33024;  // covers |s*256 - 128 - mu_fp| for the full range
-constexpr int MAX_SCALE_TABLES = 512;  // ~135 MB hard cap on memo memory
-
 struct ScaleExpTable {
     double b = 0.0;
-    std::vector<double> tab;  // lazily memoized exp(-(m * 2^-8) / b), -1 = unset
-
-    void init(double scale) {
-        b = scale;
-        tab.assign(EXPTAB_MAX_M + 1, -1.0);
-    }
-
-    inline double expm(int m) {  // m >= 0
-        double v = tab[size_t(m)];
-        if (v < 0.0) {
-            v = std::exp((double(-m) * (1.0 / 256.0)) / b);
-            tab[size_t(m)] = v;
-        }
-        return v;
+    inline double expm(int m) const {  // m >= 0
+        return std::exp((double(-m) * (1.0 / 256.0)) / b);
     }
 };
 
-// Global: tables depend only on the normative scale table, so the memo is
-// shared across grids / frames / images within the process.
+// Tiny per-index cache of the dequantized scale value.
 struct ScaleTableCache {
-    std::vector<std::unique_ptr<ScaleExpTable>> slots;
+    std::vector<ScaleExpTable> slots;
 
     ScaleExpTable* get(int64_t idx_sc_raw) {
         int64_t n_sc = int64_t(g_scale_table.size());
         if (n_sc == 0) return nullptr;
         size_t idx = size_t(idx_sc_raw < 0 ? 0 : (idx_sc_raw >= n_sc ? n_sc - 1 : idx_sc_raw));
         if (slots.size() != size_t(n_sc)) {
-            slots.clear();
-            slots.resize(size_t(n_sc));
+            slots.assign(size_t(n_sc), ScaleExpTable());
+            for (size_t i = 0; i < size_t(n_sc); ++i)
+                slots[i].b = double(g_scale_table[i]);
         }
-        if (!slots[idx]) {
-            int n_live = 0;
-            for (auto& s : slots) n_live += bool(s);
-            if (n_live >= MAX_SCALE_TABLES) return nullptr;  // fall back to direct exp
-            slots[idx] = std::make_unique<ScaleExpTable>();
-            slots[idx]->init(double(g_scale_table[idx]));
-        }
-        return slots[idx].get();
+        return &slots[idx];
     }
 };
 
@@ -228,41 +213,87 @@ ScaleTableCache g_scale_cache;
 
 // Laplace CDF at (s - 0.5) given mu = mu_fp * 2^-8: argument index
 // m = s*256 - 128 - mu_fp (sign decides the branch).
-inline double laplace_cdf_tab(int m, ScaleExpTable* t) {
+inline double laplace_cdf_tab(int m, const ScaleExpTable* t) {
     if (m < 0) return 0.5 * t->expm(-m);
     return 1.0 - 0.5 * t->expm(m);
 }
 
-inline uint32_t left_cum_tab(int s, int mu_fp, ScaleExpTable* t) {
+inline uint32_t left_cum_tab(int s, int mu_fp, const ScaleExpTable* t) {
     if (s <= SYM_MIN) return 0;
     int m = s * 256 - 128 - mu_fp;
     return uint32_t(FREE_WEIGHT * laplace_cdf_tab(m, t)) + uint32_t(s - SYM_MIN);
 }
 
-inline uint32_t right_cum_minus_left_tab(int s, int mu_fp, ScaleExpTable* t,
-                                         uint32_t left) {
-    if (s >= SYM_MAX) return uint32_t((1u << PRECISION) - left);
-    int m = s * 256 + 128 - mu_fp;
-    uint32_t right = uint32_t(FREE_WEIGHT * laplace_cdf_tab(m, t)) + uint32_t(s - SYM_MIN) + 1;
-    return right - left;
+// Fast approximate log2 (max error ~1e-3): only used for the initial guess
+// of the quantile inversion -- the corrective walk below makes the final
+// symbol exact regardless of guess error (guess error in symbols is
+// <= b * ln2 * err <= e^5 * 0.7 * 1e-3 < 0.11).
+inline double fast_log2(double v) {
+    uint64_t bits;
+    std::memcpy(&bits, &v, 8);
+    int e = int((bits >> 52) & 0x7ff) - 1023;
+    uint64_t mb = (bits & 0xfffffffffffffull) | 0x3ff0000000000000ull;
+    double m;
+    std::memcpy(&m, &mb, 8);
+    double t = m - 1.0;
+    double l = t * (1.4426950408889634 -
+                    t * (0.7212728853734762 -
+                         t * (0.4765394990484316 - t * (0.3219124579536545 -
+                                                        t * 0.1391888533622595))));
+    return double(e) + l;
 }
 
-inline int invert_quantile_tab(uint32_t quantile, double mu, int mu_fp,
-                               ScaleExpTable* t) {
-    double p = (double(quantile) + 0.5) / double(1u << PRECISION);
+// Find s maximal with left_cum_tab(s) <= quantile. Returns that left
+// cumulative AND left_cum(s + 1) (valid when s < SYM_MAX) -- the probability
+// mass is prob = left_next - left (the CDF argument of right_cum(s) is
+// exactly that of left_cum(s+1)), so the caller needs no further exp calls.
+struct InvResult {
+    int s;
+    uint32_t left;
+    uint32_t left_next;  // only meaningful when s < SYM_MAX
+};
+
+inline InvResult invert_quantile_tab(uint32_t quantile, double mu, int mu_fp,
+                                     const ScaleExpTable* t) {
+    constexpr double LN2 = 0.6931471805599453;
+    double p = (double(quantile) + 0.5) * (1.0 / double(1u << PRECISION));
     double x;
-    if (p < 0.5) x = mu + t->b * std::log(2.0 * p);
-    else x = mu - t->b * std::log(2.0 - 2.0 * p);
+    if (p < 0.5) x = mu + t->b * (LN2 * fast_log2(2.0 * p));
+    else x = mu - t->b * (LN2 * fast_log2(2.0 - 2.0 * p));
     int s = int(std::lround(x));
     if (s < SYM_MIN) s = SYM_MIN;
     if (s > SYM_MAX) s = SYM_MAX;
-    while (s > SYM_MIN && left_cum_tab(s, mu_fp, t) > quantile) --s;
-    while (s < SYM_MAX && left_cum_tab(s + 1, mu_fp, t) <= quantile) ++s;
-    return s;
+    uint32_t ls = left_cum_tab(s, mu_fp, t);
+    if (ls > quantile) {  // walk down; the previous ls is left(s + 1)
+        uint32_t ln = ls;
+        do {
+            ln = ls;
+            --s;
+            ls = left_cum_tab(s, mu_fp, t);
+        } while (ls > quantile);  // terminates: left_cum(SYM_MIN) == 0
+        return {s, ls, ln};
+    }
+    while (s < SYM_MAX) {  // walk up; the failing probe is left(s + 1)
+        uint32_t ln = left_cum_tab(s + 1, mu_fp, t);
+        if (ln > quantile) return {s, ls, ln};
+        ++s;
+        ls = ln;
+    }
+    return {s, ls, 0};  // s == SYM_MAX: prob = 2^24 - left
 }
 
 // ---------------------------------------------------------------------------
-// Fixed-point ARM (int64), reference armint.py:180-203.
+// Fixed-point ARM (int64 semantics), reference armint.py:180-203.
+//
+// Two implementations with identical integer results:
+//   * ArmFixedPoint  -- scalar int64, always exact (fallback + spec oracle).
+//   * ArmBatchF64    -- SIMD-friendly batched forward in double precision.
+//     Every intermediate value of the fixed-point network is an integer; as
+//     long as a static per-layer bound (propagated from the actual weight
+//     magnitudes and the actual input magnitudes) stays below 2^53, every
+//     f64 add/mul/floor is exact and the result equals the int64 path bit
+//     for bit. The bound is checked once per grid; on the (never observed)
+//     overflow the code falls back to the scalar path.
 // ---------------------------------------------------------------------------
 constexpr int WEIGHT_SHIFT = 16;
 constexpr int N_FRAC_BIT_MU_SCALE = 8;
@@ -322,17 +353,341 @@ struct ArmFixedPoint {
     }
 };
 
+// Batched fixed-point ARM in f64 (layout: feature-major, batch contiguous).
+struct ArmBatchF64 {
+    int dim = 0;
+    int n_out = 2;
+    int n_trunk = 0;
+    std::vector<std::vector<double>> weights;  // [l]: [in * out] row-major
+    std::vector<std::vector<double>> biases;   // [l]: [out]
+    std::vector<double> stab_w;                // [dim * n_out]
+    std::vector<double> stab_b;                // [n_out]
+    bool has_stab = false;
+
+    void init(int d, int no, int nt, const int64_t* w, const int64_t* b,
+              const int64_t* sw, const int64_t* sb) {
+        dim = d;
+        n_out = no;
+        n_trunk = nt;
+        weights.resize(size_t(nt));
+        biases.resize(size_t(nt));
+        const int64_t* wp = w;
+        const int64_t* bp = b;
+        for (int l = 0; l < nt; ++l) {
+            int out = (l == nt - 1) ? no : d;
+            weights[size_t(l)].assign(wp, wp + size_t(d) * out);
+            wp += size_t(d) * out;
+            biases[size_t(l)].assign(bp, bp + out);
+            bp += out;
+        }
+        stab_w.assign(sw, sw + size_t(d) * no);
+        stab_b.assign(sb, sb + no);
+        has_stab = false;
+        for (double v : stab_w) has_stab = has_stab || v != 0.0;
+        for (double v : stab_b) has_stab = has_stab || v != 0.0;
+    }
+
+    // Exactness certificate: propagate per-column absolute bounds (inputs
+    // already include the << WEIGHT_SHIFT) through the network; every
+    // intermediate |value| must stay < 2^53 for f64 integer arithmetic to be
+    // exact. in_bound: [dim].
+    bool bounds_ok(const double* in_bound) const {
+        constexpr double LIM = 9007199254740992.0;  // 2^53
+        std::vector<double> bx(in_bound, in_bound + dim), by;
+        std::vector<double> stab_bound(size_t(n_out), 0.0);
+        for (int o = 0; o < n_out; ++o) {
+            double acc = std::fabs(stab_b[size_t(o)]);
+            for (int i = 0; i < dim; ++i)
+                acc += bx[size_t(i)] * std::fabs(stab_w[size_t(i) * n_out + o]);
+            if (acc >= LIM) return false;
+            stab_bound[size_t(o)] = acc;
+        }
+        for (int l = 0; l < n_trunk; ++l) {
+            bool last = l == n_trunk - 1;
+            int out = last ? n_out : dim;
+            by.assign(size_t(out), 0.0);
+            for (int o = 0; o < out; ++o) {
+                double acc = std::fabs(biases[size_t(l)][size_t(o)]);
+                if (last) acc += stab_bound[size_t(o)];
+                for (int i = 0; i < dim; ++i)
+                    acc += bx[size_t(i)] * std::fabs(weights[size_t(l)][size_t(i) * out + o]);
+                if (acc >= LIM) return false;
+                by[size_t(o)] = acc;
+            }
+            if (!last) {
+                bx.resize(size_t(out));
+                for (int o = 0; o < out; ++o)
+                    bx[size_t(o)] = std::floor(by[size_t(o)] * 0x1p-16);
+            }
+        }
+        return true;
+    }
+
+    // One tile of BT symbols pushed through ALL layers while it stays in L1
+    // (register-blocked: the per-output accumulator row of BT doubles lives
+    // in vector registers across the i-loop). Inputs arrive TILE-PACKED:
+    // Xt[i * BT + b] for tile-local lane b -- the gather writes and the
+    // kernel reads then both stay within a ~dim*BT*8-byte L1 window instead
+    // of striding across the whole chunk.
+    static constexpr int BT = 64;
+
+#ifdef __AVX512F__
+    // Hand-vectorized tile: 32 lanes (4 zmm) x 2 outputs = 8 accumulator
+    // registers held across the whole reduction; ~1.5 zmm-FMA/cycle vs ~0.2
+    // for the compiler-scheduled generic version.
+    void forward_tile(const double* __restrict Xt, int n_lanes, int output_shift,
+                      double* __restrict out, int out_stride) const {
+        constexpr int N = BT;
+        alignas(64) double ping[64 * N];
+        alignas(64) double pong[64 * N];
+        alignas(64) double stab[64 * N];  // n_out <= 64
+        const __m512d vzero = _mm512_setzero_pd();
+        const __m512d inv16 = _mm512_set1_pd(0x1p-16);
+        const __m512d vinv_out = _mm512_set1_pd(std::ldexp(1.0, -output_shift));
+
+        // mode 0: hidden layer  -> floor(max(y,0) * 2^-16), row stride N
+        // mode 1: last layer    -> (+stab) floor(y * 2^-shift), row stride out_stride
+        // mode 2: stabiliser    -> raw accumulation, row stride N
+        auto do_layer = [&](const double* __restrict src, const double* __restrict W,
+                            const double* __restrict Bv, int in_n, int out_n, int mode,
+                            double* __restrict dst, size_t dst_stride) {
+            auto emit = [&](int o, int bb, __m512d a0, __m512d a1, __m512d a2, __m512d a3) {
+                if (mode == 1 && has_stab) {
+                    const double* s = stab + size_t(o) * N + bb;
+                    a0 = _mm512_add_pd(a0, _mm512_load_pd(s));
+                    a1 = _mm512_add_pd(a1, _mm512_load_pd(s + 8));
+                    a2 = _mm512_add_pd(a2, _mm512_load_pd(s + 16));
+                    a3 = _mm512_add_pd(a3, _mm512_load_pd(s + 24));
+                }
+                if (mode == 0) {  // relu then >> WEIGHT_SHIFT (floor == trunc, y >= 0)
+                    a0 = _mm512_roundscale_pd(_mm512_mul_pd(_mm512_max_pd(a0, vzero), inv16), 0x09);
+                    a1 = _mm512_roundscale_pd(_mm512_mul_pd(_mm512_max_pd(a1, vzero), inv16), 0x09);
+                    a2 = _mm512_roundscale_pd(_mm512_mul_pd(_mm512_max_pd(a2, vzero), inv16), 0x09);
+                    a3 = _mm512_roundscale_pd(_mm512_mul_pd(_mm512_max_pd(a3, vzero), inv16), 0x09);
+                } else if (mode == 1) {  // arithmetic >> output_shift == floor
+                    a0 = _mm512_roundscale_pd(_mm512_mul_pd(a0, vinv_out), 0x09);
+                    a1 = _mm512_roundscale_pd(_mm512_mul_pd(a1, vinv_out), 0x09);
+                    a2 = _mm512_roundscale_pd(_mm512_mul_pd(a2, vinv_out), 0x09);
+                    a3 = _mm512_roundscale_pd(_mm512_mul_pd(a3, vinv_out), 0x09);
+                }
+                double* d = dst + size_t(o) * dst_stride + bb;
+                _mm512_storeu_pd(d, a0);
+                _mm512_storeu_pd(d + 8, a1);
+                _mm512_storeu_pd(d + 16, a2);
+                _mm512_storeu_pd(d + 24, a3);
+            };
+
+            for (int bb = 0; bb < n_lanes; bb += 32) {
+                int o = 0;
+                for (; o + 2 <= out_n; o += 2) {
+                    __m512d b0 = _mm512_set1_pd(Bv[o]);
+                    __m512d b1 = _mm512_set1_pd(Bv[o + 1]);
+                    __m512d a00 = b0, a01 = b0, a02 = b0, a03 = b0;
+                    __m512d a10 = b1, a11 = b1, a12 = b1, a13 = b1;
+                    const double* x = src + bb;
+                    const double* wp = W + o;
+                    for (int i = 0; i < in_n; ++i, x += N, wp += out_n) {
+                        __m512d w0 = _mm512_set1_pd(wp[0]);
+                        __m512d w1 = _mm512_set1_pd(wp[1]);
+                        __m512d x0 = _mm512_loadu_pd(x);
+                        __m512d x1 = _mm512_loadu_pd(x + 8);
+                        __m512d x2 = _mm512_loadu_pd(x + 16);
+                        __m512d x3 = _mm512_loadu_pd(x + 24);
+                        a00 = _mm512_fmadd_pd(w0, x0, a00);
+                        a01 = _mm512_fmadd_pd(w0, x1, a01);
+                        a02 = _mm512_fmadd_pd(w0, x2, a02);
+                        a03 = _mm512_fmadd_pd(w0, x3, a03);
+                        a10 = _mm512_fmadd_pd(w1, x0, a10);
+                        a11 = _mm512_fmadd_pd(w1, x1, a11);
+                        a12 = _mm512_fmadd_pd(w1, x2, a12);
+                        a13 = _mm512_fmadd_pd(w1, x3, a13);
+                    }
+                    emit(o, bb, a00, a01, a02, a03);
+                    emit(o + 1, bb, a10, a11, a12, a13);
+                }
+                if (o < out_n) {
+                    __m512d b0 = _mm512_set1_pd(Bv[o]);
+                    __m512d a00 = b0, a01 = b0, a02 = b0, a03 = b0;
+                    const double* x = src + bb;
+                    const double* wp = W + o;
+                    for (int i = 0; i < in_n; ++i, x += N, wp += out_n) {
+                        __m512d w0 = _mm512_set1_pd(wp[0]);
+                        a00 = _mm512_fmadd_pd(w0, _mm512_loadu_pd(x), a00);
+                        a01 = _mm512_fmadd_pd(w0, _mm512_loadu_pd(x + 8), a01);
+                        a02 = _mm512_fmadd_pd(w0, _mm512_loadu_pd(x + 16), a02);
+                        a03 = _mm512_fmadd_pd(w0, _mm512_loadu_pd(x + 24), a03);
+                    }
+                    emit(o, bb, a00, a01, a02, a03);
+                }
+            }
+        };
+
+        if (has_stab)
+            do_layer(Xt, stab_w.data(), stab_b.data(), dim, n_out, 2, stab, N);
+
+        const double* cur = Xt;
+        double* nxt = ping;
+        for (int l = 0; l < n_trunk; ++l) {
+            bool last = l == n_trunk - 1;
+            int out_n = last ? n_out : dim;
+            if (last) {
+                do_layer(cur, weights[size_t(l)].data(), biases[size_t(l)].data(),
+                         dim, out_n, 1, out, size_t(out_stride));
+            } else {
+                do_layer(cur, weights[size_t(l)].data(), biases[size_t(l)].data(),
+                         dim, out_n, 0, nxt, size_t(N));
+                cur = nxt;
+                nxt = (nxt == ping) ? pong : ping;
+            }
+        }
+    }
+#else
+    void forward_tile(const double* __restrict Xt, int n_lanes, int output_shift,
+                      double* __restrict out, int out_stride) const {
+        constexpr int N = BT;
+        double ping[64][N];
+        double pong[64][N];
+        double stab[64][N];  // n_out <= 64
+
+        if (has_stab) {
+            for (int o = 0; o < n_out; ++o) {
+                double acc[N];
+                double bb = stab_b[size_t(o)];
+                for (int b = 0; b < N; ++b) acc[b] = bb;
+                for (int i = 0; i < dim; ++i) {
+                    double w = stab_w[size_t(i) * n_out + o];
+                    const double* x = Xt + size_t(i) * N;
+                    for (int b = 0; b < N; ++b) acc[b] += w * x[b];
+                }
+                for (int b = 0; b < N; ++b) stab[o][b] = acc[b];
+            }
+        }
+
+        const double inv_out = std::ldexp(1.0, -output_shift);
+        const double* cur = Xt;  // row stride N
+        double* nxt = &ping[0][0];
+        for (int l = 0; l < n_trunk; ++l) {
+            bool last = l == n_trunk - 1;
+            int out_n = last ? n_out : dim;
+            const double* W = weights[size_t(l)].data();
+            const double* Bv = biases[size_t(l)].data();
+            // Register-blocked micro-kernel: 32 lanes (4 zmm) x 2 outputs =
+            // 8 independent accumulator registers with the reduction loop
+            // (i) INNERMOST -- the accumulators stay in registers for the
+            // whole reduction instead of round-tripping through the stack.
+            for (int bb = 0; bb < n_lanes; bb += 32) {
+                int o = 0;
+                for (; o + 2 <= out_n; o += 2) {
+                    double acc0[32], acc1[32];
+                    double b0 = Bv[o], b1 = Bv[o + 1];
+                    for (int k = 0; k < 32; ++k) acc0[k] = b0;
+                    for (int k = 0; k < 32; ++k) acc1[k] = b1;
+                    for (int i = 0; i < dim; ++i) {
+                        double w0 = W[size_t(i) * out_n + o];
+                        double w1 = W[size_t(i) * out_n + o + 1];
+                        const double* x = cur + size_t(i) * N + bb;
+                        for (int k = 0; k < 32; ++k) {
+                            double xv = x[k];
+                            acc0[k] += w0 * xv;
+                            acc1[k] += w1 * xv;
+                        }
+                    }
+                    if (last) {
+                        if (has_stab) {
+                            for (int k = 0; k < 32; ++k) acc0[k] += stab[o][bb + k];
+                            for (int k = 0; k < 32; ++k) acc1[k] += stab[o + 1][bb + k];
+                        }
+                        // Arithmetic >> output_shift == floor division by 2^shift.
+                        for (int k = 0; k < 32; ++k)
+                            out[size_t(o) * out_stride + bb + k] = std::floor(acc0[k] * inv_out);
+                        for (int k = 0; k < 32; ++k)
+                            out[size_t(o + 1) * out_stride + bb + k] =
+                                std::floor(acc1[k] * inv_out);
+                    } else {
+                        // relu then >> WEIGHT_SHIFT (values >= 0: floor == trunc).
+                        for (int k = 0; k < 32; ++k)
+                            nxt[size_t(o) * N + bb + k] =
+                                std::floor(std::max(acc0[k], 0.0) * 0x1p-16);
+                        for (int k = 0; k < 32; ++k)
+                            nxt[size_t(o + 1) * N + bb + k] =
+                                std::floor(std::max(acc1[k], 0.0) * 0x1p-16);
+                    }
+                }
+                for (; o < out_n; ++o) {
+                    double acc[32];
+                    double bb_v = Bv[o];
+                    for (int k = 0; k < 32; ++k) acc[k] = bb_v;
+                    for (int i = 0; i < dim; ++i) {
+                        double w = W[size_t(i) * out_n + o];
+                        const double* x = cur + size_t(i) * N + bb;
+                        for (int k = 0; k < 32; ++k) acc[k] += w * x[k];
+                    }
+                    if (last) {
+                        if (has_stab)
+                            for (int k = 0; k < 32; ++k) acc[k] += stab[o][bb + k];
+                        for (int k = 0; k < 32; ++k)
+                            out[size_t(o) * out_stride + bb + k] = std::floor(acc[k] * inv_out);
+                    } else {
+                        for (int k = 0; k < 32; ++k)
+                            nxt[size_t(o) * N + bb + k] =
+                                std::floor(std::max(acc[k], 0.0) * 0x1p-16);
+                    }
+                }
+            }
+            if (!last) {
+                cur = nxt;
+                nxt = (nxt == &ping[0][0]) ? &pong[0][0] : &ping[0][0];
+            }
+        }
+    }
+#endif  // __AVX512F__
+
+    // X: tile-packed [ceil(batch/BT)][dim][BT] f64 (inputs already
+    // << WEIGHT_SHIFT, exact integers; pad lanes zero-filled). Writes
+    // [n_out][bcap] results (after >> output_shift) into `out`.
+    void forward_batch(const double* X, int bcap, int batch, int output_shift,
+                       double* out, double* /*scratch*/) const {
+        for (int b0 = 0; b0 < batch; b0 += BT) {
+            int used = std::min(batch - b0, BT);
+            int n_lanes = (used + 31) / 32 * 32;  // whole 32-lane blocks only
+            forward_tile(X + size_t(b0 / BT) * dim * BT, n_lanes, output_shift,
+                         out + b0, bcap);
+        }
+    }
+};
+
+// Env-gated phase profiler (COOLCHIC_RC_PROF=1): accumulates wall time per
+// rc_code_grid phase; dumped via rc_prof_dump().
+struct RcProf {
+    bool on = false;
+    double t_order = 0, t_bound = 0, t_gather = 0, t_arm = 0, t_serial = 0, t_fill = 0;
+    int64_t symbols = 0;
+    RcProf() { on = getenv("COOLCHIC_RC_PROF") != nullptr; }
+};
+RcProf g_prof;
+
+inline double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return double(ts.tv_sec) + 1e-9 * double(ts.tv_nsec);
+};
+
 constexpr int MASK = 9;       // MAX_ARM_MASK_SIZE
 constexpr int PAD = (MASK - 1) / 2;
 
-// Shared wavefront walk: calls fn(pos_in_padded_buffer) for every pixel in
-// normative coding order (reference latent.py:63-146).
+// Shared wavefront walk: calls fn(pos_in_padded_buffer, wavefront_idx) for
+// every pixel in normative coding order (reference latent.py:63-146). All
+// pixels of one wavefront have mutually causal-mask-disjoint contexts, so a
+// decoder may batch them (the ARM inputs of wavefront k only touch pixels of
+// wavefronts < k). For very narrow grids (w <= MASK) the order is raster and
+// every pixel is its own wavefront.
 template <typename F>
 void wavefront_walk(int h, int w, F&& fn) {
     int w_pad = w + 2 * PAD;
     if (w <= MASK) {  // no wavefront for very narrow grids: raster order
+        int k = 0;
         for (int r = 0; r < h; ++r)
-            for (int c = 0; c < w; ++c) fn((r + PAD) * w_pad + PAD + c);
+            for (int c = 0; c < w; ++c) fn((r + PAD) * w_pad + PAD + c, k++);
         return;
     }
     int max_order = w - 1 + (h - 1) * (MASK + 1);
@@ -349,7 +704,7 @@ void wavefront_walk(int h, int w, F&& fn) {
             int y = sy + t;
             int x = sx - (MASK + 1) * t;
             if (y >= h || x < 0) break;
-            fn((y + PAD) * w_pad + PAD + x);
+            fn((y + PAD) * w_pad + PAD + x, i);
         }
     }
 }
@@ -457,13 +812,51 @@ static void build_arm(ArmFixedPoint& arm, int dim, int n_out, int n_trunk,
 }
 
 // Batched fixed-point ARM forward (used for the IFCE context computation,
-// where numpy's int64 matmul has no fast path).
+// where numpy's int64 matmul has no fast path). f64 SIMD path with a static
+// exactness certificate; falls back to scalar int64 otherwise.
 int32_t rc_arm_forward(const int64_t* x, int64_t n, int32_t n_spatial_plus_ifce,
                        int32_t n_trunk, const int64_t* weights, const int64_t* biases,
                        const int64_t* stab_w, const int64_t* stab_b,
                        int32_t n_out, int32_t output_shift, int64_t* out) {
     int dim = n_spatial_plus_ifce;
     if (dim > 64 || n_out > 64) return -1;
+
+    ArmBatchF64 fast;
+    fast.init(dim, n_out, n_trunk, weights, biases, stab_w, stab_b);
+    double in_bound[64];
+    for (int k = 0; k < dim; ++k) {
+        int64_t m = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t v = x[size_t(i) * dim + k];
+            if (v < 0) v = -v;
+            if (v > m) m = v;
+        }
+        in_bound[k] = double(m) * 65536.0;
+    }
+
+    if (fast.bounds_ok(in_bound)) {
+        constexpr int BCAP = 2048;
+        constexpr int BT = ArmBatchF64::BT;
+        std::vector<double> X(size_t(dim) * BCAP), res(size_t(n_out) * BCAP);
+        for (int64_t c0 = 0; c0 < n; c0 += BCAP) {
+            int batch = int(std::min(n - c0, int64_t(BCAP)));
+            if (batch % BT) {  // zero the pad lanes of the final tile
+                size_t t0 = size_t(batch / BT) * dim * BT;
+                std::fill(X.begin() + t0, X.begin() + t0 + size_t(dim) * BT, 0.0);
+            }
+            for (int b = 0; b < batch; ++b) {
+                double* xt = X.data() + size_t(b / BT) * dim * BT + (b % BT);
+                const int64_t* row = x + size_t(c0 + b) * dim;
+                for (int k = 0; k < dim; ++k) xt[size_t(k) * BT] = double(row[k]) * 65536.0;
+            }
+            fast.forward_batch(X.data(), BCAP, batch, output_shift, res.data(), nullptr);
+            for (int b = 0; b < batch; ++b)
+                for (int o = 0; o < n_out; ++o)
+                    out[size_t(c0 + b) * n_out + o] = int64_t(res[size_t(o) * BCAP + b]);
+        }
+        return 0;
+    }
+
     ArmFixedPoint arm;
     build_arm(arm, dim, n_out, n_trunk, weights, biases, stab_w, stab_b);
     for (int64_t i = 0; i < n; ++i) {
@@ -481,9 +874,6 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
     int dim = n_spatial_ctx + n_ifce_ctx;
     if (dim > 64) return -1;
 
-    ArmFixedPoint arm;
-    build_arm(arm, dim, 2, n_trunk, weights, biases, stab_w, stab_b);
-
     int w_pad = w + 2 * PAD;
     int h_pad = h + 2 * PAD;
     std::vector<int64_t> buf(size_t(w_pad) * h_pad, 0);
@@ -497,72 +887,192 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
         offs[k] = dy * w_pad + dx;
     }
 
+    // Normative coding order, with wavefront boundaries for batched decode.
+    double tp = g_prof.on ? now_s() : 0.0;
+    std::vector<int32_t> order;
+    order.reserve(size_t(h) * w);
+    std::vector<int32_t> wf_start;
+    wavefront_walk(h, w, [&](int pos, int wf) {
+        while (int(wf_start.size()) <= wf) wf_start.push_back(int32_t(order.size()));
+        order.push_back(int32_t(pos));
+    });
+    wf_start.push_back(int32_t(order.size()));
+    if (g_prof.on) {
+        double t = now_s();
+        g_prof.t_order += t - tp;
+        g_prof.symbols += int64_t(h) * w;
+        tp = t;
+    }
+
+    // f64 SIMD ARM when the static exactness bound holds (always, in practice).
+    ArmBatchF64 fast;
+    fast.init(dim, 2, n_trunk, weights, biases, stab_w, stab_b);
+    double in_bound[64];
+    for (int k = 0; k < n_spatial_ctx; ++k)
+        in_bound[k] = double(-SYM_MIN) * 65536.0;
+    for (int k = 0; k < n_ifce_ctx; ++k) {
+        int64_t m = 0;
+        for (size_t i = 0; i < size_t(h) * w; ++i) {
+            int64_t v = ifce_ctx[i * size_t(n_ifce_ctx) + k];
+            if (v < 0) v = -v;
+            if (v > m) m = v;
+        }
+        in_bound[n_spatial_ctx + k] = double(m) * 65536.0;
+    }
+    bool use_fast = fast.bounds_ok(in_bound);
+    if (g_prof.on) {
+        double t = now_s();
+        g_prof.t_bound += t - tp;
+        tp = t;
+    }
+
     Encoder* enc = is_encode ? static_cast<Encoder*>(coder) : nullptr;
     Decoder* dec = is_encode ? nullptr : static_cast<Decoder*>(coder);
     int64_t n_mu = int64_t(g_mu_table.size());
 
-    int err = 0;
-    wavefront_walk(h, w, [&](int pos) {
-        if (err) return;
-        int64_t ctx[64];
-        for (int k = 0; k < n_spatial_ctx; ++k) ctx[k] = buf[size_t(pos + offs[k])];
-        if (n_ifce_ctx > 0) {
-            int y = pos / w_pad - PAD;
-            int x = pos % w_pad - PAD;
-            const int64_t* row = ifce_ctx + (size_t(y) * w + x) * n_ifce_ctx;
-            for (int k = 0; k < n_ifce_ctx; ++k) ctx[n_spatial_ctx + k] = row[k];
+    if (is_encode) {  // validate symbols upfront; also fills the context buffer
+        for (int yy = 0; yy < h; ++yy) {
+            for (int xx = 0; xx < w; ++xx) {
+                int64_t sv = data[size_t(yy) * w + xx];
+                if (sv < SYM_MIN || sv > SYM_MAX) return -2;
+                buf[size_t(yy + PAD) * w_pad + PAD + xx] = sv;
+            }
         }
-        int64_t out2[2];
-        arm.forward(ctx, out2, OUTPUT_SHIFT);
+    }
 
-        int64_t idx_mu = out2[0] - MU_MIN_FP;
+    // Entropy-code one symbol given the fixed-point ARM output (mu, log-scale).
+    auto code_symbol = [&](int pos, int64_t out_mu, int64_t out_ls) {
+        int64_t idx_mu = out_mu - MU_MIN_FP;
         if (idx_mu < 0) idx_mu = 0;
         if (idx_mu >= n_mu) idx_mu = n_mu - 1;
         int mu_fp = int(idx_mu) + int(MU_MIN_FP);
         double mu = double(g_mu_table[size_t(idx_mu)]);
-        ScaleExpTable* t = g_scale_cache.get(out2[1] - LOG_SCALE_MIN_FP);
+        ScaleExpTable* t = g_scale_cache.get(out_ls - LOG_SCALE_MIN_FP);
 
         int y = pos / w_pad - PAD;
         int x = pos % w_pad - PAD;
         uint32_t left, prob;
         int s;
         if (is_encode) {
-            int64_t sv = data[size_t(y) * w + x];
-            if (sv < SYM_MIN || sv > SYM_MAX) {
-                err = -2;
-                return;
-            }
-            s = int(sv);
-            if (t != nullptr) {
-                left = left_cum_tab(s, mu_fp, t);
-                prob = right_cum_minus_left_tab(s, mu_fp, t, left);
-            } else {
-                double sc;
-                lookup(idx_mu, out2[1] - LOG_SCALE_MIN_FP, &mu, &sc);
-                left = left_cum(s, mu, sc);
-                prob = right_cum_minus_left(s, mu, sc, left);
-            }
+            s = int(data[size_t(y) * w + x]);
+            left = left_cum_tab(s, mu_fp, t);
+            prob = (s >= SYM_MAX) ? uint32_t((1u << PRECISION) - left)
+                                  : left_cum_tab(s + 1, mu_fp, t) - left;
             enc->encode(left, prob);
         } else {
             uint64_t scale64 = dec->range >> PRECISION;
             uint32_t quantile = dec->quantile();
-            if (t != nullptr) {
-                s = invert_quantile_tab(quantile, mu, mu_fp, t);
-                left = left_cum_tab(s, mu_fp, t);
-                prob = right_cum_minus_left_tab(s, mu_fp, t, left);
-            } else {
-                double sc;
-                lookup(idx_mu, out2[1] - LOG_SCALE_MIN_FP, &mu, &sc);
-                s = invert_quantile(quantile, mu, sc);
-                left = left_cum(s, mu, sc);
-                prob = right_cum_minus_left(s, mu, sc, left);
-            }
+            InvResult r = invert_quantile_tab(quantile, mu, mu_fp, t);
+            s = r.s;
+            left = r.left;
+            prob = (s >= SYM_MAX) ? uint32_t((1u << PRECISION) - left)
+                                  : r.left_next - left;
             dec->advance(scale64, left, prob);
+            buf[size_t(pos)] = s;
+            data[size_t(y) * w + x] = s;
         }
-        buf[size_t(pos)] = s;
-        if (!is_encode) data[size_t(y) * w + x] = s;
-    });
-    return err;
+    };
+
+    if (!use_fast) {  // scalar int64 fallback, pixel by pixel
+        ArmFixedPoint arm;
+        build_arm(arm, dim, 2, n_trunk, weights, biases, stab_w, stab_b);
+        for (int32_t pos : order) {
+            int64_t ctx[64];
+            for (int k = 0; k < n_spatial_ctx; ++k) ctx[k] = buf[size_t(pos + offs[k])];
+            if (n_ifce_ctx > 0) {
+                int y = pos / w_pad - PAD;
+                int x = pos % w_pad - PAD;
+                const int64_t* row = ifce_ctx + (size_t(y) * w + x) * n_ifce_ctx;
+                for (int k = 0; k < n_ifce_ctx; ++k) ctx[n_spatial_ctx + k] = row[k];
+            }
+            int64_t out2[2];
+            arm.forward(ctx, out2, OUTPUT_SHIFT);
+            code_symbol(pos, out2[0], out2[1]);
+        }
+        return 0;
+    }
+
+    constexpr int BCAP = 2048;
+    constexpr int BT = ArmBatchF64::BT;
+    std::vector<double> X(size_t(dim) * BCAP), out2(size_t(2) * BCAP);
+
+    auto gather = [&](const int32_t* ord, int batch) {
+        if (batch % BT) {  // zero the pad lanes of the final tile
+            size_t t0 = size_t(batch / BT) * dim * BT;
+            std::fill(X.begin() + t0, X.begin() + t0 + size_t(dim) * BT, 0.0);
+        }
+        for (int b = 0; b < batch; ++b) {
+            int pos = ord[b];
+            double* xt = X.data() + size_t(b / BT) * dim * BT + (b % BT);
+            for (int k = 0; k < n_spatial_ctx; ++k)
+                xt[size_t(k) * BT] = double(buf[size_t(pos + offs[k])]) * 65536.0;
+            if (n_ifce_ctx > 0) {
+                int y = pos / w_pad - PAD;
+                int x = pos % w_pad - PAD;
+                const int64_t* row = ifce_ctx + (size_t(y) * w + x) * n_ifce_ctx;
+                for (int k = 0; k < n_ifce_ctx; ++k)
+                    xt[size_t(n_spatial_ctx + k) * BT] = double(row[k]) * 65536.0;
+            }
+        }
+    };
+
+    if (is_encode) {
+        // All contexts are known upfront (decoded == encoded for a lossless
+        // entropy coder), so the whole grid's ARM runs as one batched pass.
+        size_t n = order.size();
+        std::vector<int64_t> mu_v(n), ls_v(n);
+        for (size_t c0 = 0; c0 < n; c0 += BCAP) {
+            int batch = int(std::min(n - c0, size_t(BCAP)));
+            gather(order.data() + c0, batch);
+            fast.forward_batch(X.data(), BCAP, batch, OUTPUT_SHIFT, out2.data(),
+                               nullptr);
+            for (int b = 0; b < batch; ++b) {
+                mu_v[c0 + b] = int64_t(out2[size_t(b)]);
+                ls_v[c0 + b] = int64_t(out2[size_t(BCAP) + b]);
+            }
+        }
+        for (size_t i = 0; i < n; ++i) code_symbol(order[i], mu_v[i], ls_v[i]);
+        return 0;
+    }
+
+    // Decode: the ARM inputs of one wavefront only touch already-decoded
+    // wavefronts, so each wavefront's ARM runs as one batched forward and
+    // only the range-decoder state update stays serial.
+    for (size_t wf = 0; wf + 1 < wf_start.size(); ++wf) {
+        int start = wf_start[wf];
+        int end = wf_start[wf + 1];
+        for (int c0 = start; c0 < end; c0 += BCAP) {
+            int batch = std::min(end - c0, BCAP);
+            if (g_prof.on) tp = now_s();
+            gather(order.data() + c0, batch);
+            if (g_prof.on) {
+                double t = now_s();
+                g_prof.t_gather += t - tp;
+                tp = t;
+            }
+            fast.forward_batch(X.data(), BCAP, batch, OUTPUT_SHIFT, out2.data(),
+                               nullptr);
+            if (g_prof.on) {
+                double t = now_s();
+                g_prof.t_arm += t - tp;
+                tp = t;
+            }
+            for (int b = 0; b < batch; ++b)
+                code_symbol(order[size_t(c0) + b], int64_t(out2[size_t(b)]),
+                            int64_t(out2[size_t(BCAP) + b]));
+            if (g_prof.on) g_prof.t_serial += now_s() - tp;
+        }
+    }
+    return 0;
+}
+
+void rc_prof_dump() {
+    std::fprintf(stderr,
+                 "[rc_prof] symbols=%lld order=%.1fms bound=%.1fms gather=%.1fms "
+                 "arm=%.1fms serial=%.1fms\n",
+                 (long long)g_prof.symbols, g_prof.t_order * 1e3, g_prof.t_bound * 1e3,
+                 g_prof.t_gather * 1e3, g_prof.t_arm * 1e3, g_prof.t_serial * 1e3);
+    g_prof = RcProf();
 }
 
 }  // extern "C"

@@ -1,14 +1,16 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
 Round-1 metric: overfitting-encoder training throughput (iterations/s) on
-the hop intra configuration at 256x384 -- the encode hot loop where >95% of
-Cool-Chic encode wall-clock goes. (512x768 hits a remote-TPU-compiler memory
-cap on this rig; the compile-envelope issue is tracked for round 2 and the
-persistent compilation cache in .jax_cache makes repeat runs fast.)
+the hop intra configuration at the flagship Kodak size 512x768 -- the encode
+hot loop where >95% of Cool-Chic encode wall-clock goes (BASELINE.json
+config "Encode+decode single Kodak 768x512 RGB image").
 
 Baseline: the reference PyTorch implementation (same architecture, same
-forward/backward/optimizer step) at the same 256x384 size on this host's
-CPU (2 threads): 3.71 it/s (269 ms/iter). The north star is >=10x.
+forward/backward/optimizer step) at the same 512x768 size on this host's
+CPU (2 threads): 0.51 it/s (1.96 s/iter). The north star is >=10x.
+
+The first run on a fresh machine pays a ~6 min remote XLA compile; it is
+cached persistently in .jax_cache, so subsequent runs start in seconds.
 """
 
 import json
@@ -25,12 +27,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-# Reference coolchic (torch 2.13 CPU, 2 threads, this host), hop 256x384,
-# full forward/backward/Adam step of the training loop: 269 ms/iter.
-# (At 512x768 the reference measures 0.51 it/s on the same host.)
-BASELINE_REF_CPU_IT_PER_SEC = 3.71
+# Reference coolchic (torch 2.13 CPU, 2 threads, this host), hop 512x768,
+# full forward/backward/Adam step of the training loop: 1.96 s/iter.
+# (At 256x384 the reference measures 3.71 it/s on the same host.)
+BASELINE_REF_CPU_IT_PER_SEC = 0.51
 
-N_TIMED_ITERS = 200
+N_TIMED_ITERS = 100
 N_TIMED_WINDOWS = 3
 
 
@@ -40,7 +42,7 @@ def main():
     from coolchic_tpu.train.train import _make_fns, init_opt_state
     from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
 
-    img_size = (256, 384)
+    img_size = (512, 768)
     cfgs = {"residue": coolchic_config_from_args(INTRA_OPERATING_POINTS["hop"], img_size)}
     fcfg = FrameConfig(coolchic_cfg=cfgs)
     phase = TrainerPhase(lmbda=1e-3, max_itr=N_TIMED_ITERS, freq_valid=N_TIMED_ITERS,
@@ -85,7 +87,7 @@ def main():
 
     it_per_sec = N_TIMED_ITERS / dt
     print(json.dumps({
-        "metric": "encode_train_iter_per_sec_hop_256x384",
+        "metric": "encode_train_iter_per_sec_hop_512x768",
         "value": round(it_per_sec, 3),
         "unit": "it/s",
         "vs_baseline": round(it_per_sec / BASELINE_REF_CPU_IT_PER_SEC, 2),

@@ -95,3 +95,17 @@ def test_e2e_yuv444_10b(tmp_path):
     assert frame.frame_data_type == "yuv444" and frame.bitdepth == 10
     res, dec_psnr = _roundtrip(frame, "lop", tmp_path=tmp_path)
     assert dec_psnr > 20.0
+
+
+def test_e2e_yuv420_10b(tmp_path):
+    frame = load_frame_data_from_file(f"{DATA}/kodim15_192x128_01p_yuv420_10b.yuv")
+    assert frame.frame_data_type == "yuv420" and frame.bitdepth == 10
+    res, dec_psnr = _roundtrip(frame, "lop", tmp_path=tmp_path)
+    assert dec_psnr > 20.0
+
+
+def test_e2e_yuv444_8b(tmp_path):
+    frame = load_frame_data_from_file(f"{DATA}/kodim15_192x128_01p_yuv444_8b.yuv")
+    assert frame.frame_data_type == "yuv444" and frame.bitdepth == 8
+    res, dec_psnr = _roundtrip(frame, "lop", tmp_path=tmp_path)
+    assert dec_psnr > 20.0

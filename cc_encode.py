@@ -31,6 +31,9 @@ def main() -> int:
     p.add_argument("--p_pos", default="")
     p.add_argument("--coding_idx", type=int, default=0)
     p.add_argument("--tune", default="mse", choices=["mse", "wasserstein"])
+    p.add_argument("--profile", default="ref", choices=["ref", "tpu"],
+                   help="bitstream profile: ref = reference bit-compatible, "
+                        "tpu = parallel-stream latents (docs/tpu_profile.md)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("-v", "--verbose", action="count", default=1)
@@ -94,7 +97,8 @@ def main() -> int:
                     "motion": op_point(MOTION_OPERATING_POINTS, args.dec_cfg_motion)}
 
     res = encode_one_frame(frame, cs, args.input, workdir, preset, cfg_args,
-                           seed=args.seed, verbose=args.verbose > 0, tune=args.tune)
+                           seed=args.seed, verbose=args.verbose > 0, tune=args.tune,
+                           profile=args.profile)
 
     mode = "wb" if frame.coding_order == 0 else "ab"
     with open(args.output, mode) as f:

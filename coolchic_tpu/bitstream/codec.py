@@ -145,8 +145,19 @@ def synthesize(nn_params: dict, cfg: CoolChicConfig, latent_grids: list[np.ndarr
     return np.asarray(_synthesize_fn(cfg)(jparams, grids, cr))
 
 
-def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
-                    ) -> tuple[np.ndarray, list[np.ndarray]]:
+def grid_n_streams(h: int, w: int) -> int:
+    """`tpu`-profile stream count per grid: enough lanes to keep a chip busy
+    on big grids, minimal sealing overhead on small ones."""
+    n = h * w
+    if n >= 1 << 16:
+        return 128
+    if n >= 1 << 10:
+        return 8
+    return 1
+
+
+def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes,
+                    profile: str = "ref") -> tuple[np.ndarray, list[np.ndarray]]:
     """Returns (raw synthesis output [1, C, H, W], decoded integer grids)."""
     cfg = header.to_config()
     nn_params = decode_network(bytes_nn, cfg, header.nn_q_step_shift,
@@ -162,13 +173,28 @@ def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
     )
     ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
 
-    decoder = rc.RangeDecoder(bytes_latent)
+    decoder = rc.RangeDecoder(bytes_latent) if profile == "ref" else None
+    cursor = 0  # tpu profile: byte cursor into bytes_latent
     decoded: list[np.ndarray] = []  # largest first
     for idx_latent in range(cfg.n_latent_grids - 1, -1, -1):
         h_i, w_i = cfg.size_per_latent[idx_latent]
         ifce_ctx = _ifce_context_for_grid(nn_params, cfg, header, idx_latent, decoded, h_i, w_i)
-        grid = rc.code_grid(decoder, False, h_i, w_i, cfg.spatial_context_arm,
-                            ifce_ctx, arm_fp, ctx_idx)
+        if profile == "ref":
+            grid = rc.code_grid(decoder, False, h_i, w_i, cfg.spatial_context_arm,
+                                ifce_ctx, arm_fp, ctx_idx)
+        else:
+            n_streams = bytes_latent[cursor]
+            cursor += 1
+            counts = np.frombuffer(bytes_latent, dtype="<u4", offset=cursor,
+                                   count=n_streams)
+            cursor += 4 * n_streams
+            decoders = []
+            for c in counts:
+                decoders.append(rc.RangeDecoder(bytes_latent[cursor:cursor + 4 * int(c)]))
+                cursor += 4 * int(c)
+            grid = rc.code_grid_streams(decoders, False, h_i, w_i,
+                                        cfg.spatial_context_arm, ifce_ctx, arm_fp,
+                                        ctx_idx)
         decoded.insert(0, grid)
 
     raw_out = synthesize(nn_params, cfg, decoded)
@@ -176,10 +202,16 @@ def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
 
 
 def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,
-                            quantized_latents: list[np.ndarray]) -> bytes:
+                            quantized_latents: list[np.ndarray],
+                            profile: str = "ref") -> bytes:
     """Range-encode the quantized latent grids (coarse to fine) given the
     already-quantized integer NN params. Returns the latent byte payload and
-    sets header.n_bytes_latent."""
+    sets header.n_bytes_latent.
+
+    profile "ref": one constriction stream for the whole payload (reference
+    bit-compatible). profile "tpu": per grid, [u8 n_streams][n x u32 word
+    counts][stream words...] with wavefront-interleaved streams (see
+    docs/tpu_profile.md)."""
     cfg = header.to_config()
     arm_fp = arm_to_fixed_point(
         nn_params_int["arm"]["layers"],
@@ -191,17 +223,28 @@ def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,
     )
     ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
 
-    encoder = rc.RangeEncoder()
+    encoder = rc.RangeEncoder() if profile == "ref" else None
+    chunks: list[bytes] = []
     coded: list[np.ndarray] = []
     for idx_latent in range(cfg.n_latent_grids - 1, -1, -1):
         h_i, w_i = cfg.size_per_latent[idx_latent]
         ifce_ctx = _ifce_context_for_grid(nn_params_int, cfg, header, idx_latent, coded,
                                           h_i, w_i)
         data = np.ascontiguousarray(quantized_latents[idx_latent], dtype=np.int64)
-        out = rc.code_grid(encoder, True, h_i, w_i, cfg.spatial_context_arm,
-                           ifce_ctx, arm_fp, ctx_idx, data=data)
+        if profile == "ref":
+            out = rc.code_grid(encoder, True, h_i, w_i, cfg.spatial_context_arm,
+                               ifce_ctx, arm_fp, ctx_idx, data=data)
+        else:
+            n_streams = grid_n_streams(h_i, w_i)
+            encoders = [rc.RangeEncoder() for _ in range(n_streams)]
+            out = rc.code_grid_streams(encoders, True, h_i, w_i,
+                                       cfg.spatial_context_arm, ifce_ctx, arm_fp,
+                                       ctx_idx, data=data)
+            streams = [e.get_bytes() for e in encoders]
+            counts = np.array([len(s) // 4 for s in streams], dtype="<u4")
+            chunks.append(bytes([n_streams]) + counts.tobytes() + b"".join(streams))
         coded.insert(0, out)
 
-    payload = encoder.get_bytes()
+    payload = encoder.get_bytes() if profile == "ref" else b"".join(chunks)
     header.n_bytes_latent = len(payload)
     return payload

@@ -17,7 +17,7 @@ from coolchic_tpu.utils.codingstructure import CodingStructure
 
 
 def decode_frame(bitstream: bytes, reference_frames: list[FrameData] | None = None,
-                 ) -> tuple[FrameData, bytes]:
+                 profile: str = "ref") -> tuple[FrameData, bytes]:
     frame_header, bitstream = FrameHeader.read(bitstream)
     frame_type = frame_header.frame_type
     bitdepth = frame_header.bitdepth
@@ -31,7 +31,7 @@ def decode_frame(bitstream: bytes, reference_frames: list[FrameData] | None = No
         bitstream = bitstream[cc_header.nn_n_bytes:]
         bytes_latent = bitstream[:cc_header.n_bytes_latent]
         bitstream = bitstream[cc_header.n_bytes_latent:]
-        raw_out, _ = decode_coolchic(cc_header, bytes_nn, bytes_latent)
+        raw_out, _ = decode_coolchic(cc_header, bytes_nn, bytes_latent, profile=profile)
         cc_out[name] = raw_out
 
     if frame_type == "I":
@@ -79,6 +79,15 @@ def decode_video(bitstream_path: str, decoded_path: Optional[str] = None,
     with open(bitstream_path, "rb") as f:
         bitstream = f.read()
 
+    # Profile sniff: `tpu`-profile files carry a container magic; the
+    # reference format is headerless (docs/tpu_profile.md).
+    from coolchic_tpu.bitstream.encode import TPU_PROFILE_MAGIC
+
+    profile = "ref"
+    if bitstream.startswith(TPU_PROFILE_MAGIC):
+        profile = "tpu"
+        bitstream = bitstream[len(TPU_PROFILE_MAGIC):]
+
     video_header, bitstream = VideoHeader.read(bitstream)
     coding_structure = CodingStructure(
         n_frames=video_header.n_frames,
@@ -93,7 +102,7 @@ def decode_video(bitstream_path: str, decoded_path: Optional[str] = None,
         frame = coding_structure.get_frame_from_coding_order(coding_idx)
         refs = [coding_structure.get_frame_from_display_order(i).data
                 for i in frame.index_references]
-        frame_data, bitstream = decode_frame(bitstream, refs)
+        frame_data, bitstream = decode_frame(bitstream, refs, profile=profile)
         frame.data = frame_data
 
     all_frames: dict[str, FrameData] = {}

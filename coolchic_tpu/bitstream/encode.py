@@ -34,8 +34,13 @@ def _int_arm_params(cc_params: dict, cfg: CoolChicConfig, q_shift: dict) -> dict
     return out
 
 
-def encode_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: dict
-                    ) -> bytes:
+# `tpu` bitstream profile container magic (see docs/tpu_profile.md). A
+# reference-format stream is headerless, so profile detection is by prefix.
+TPU_PROFILE_MAGIC = b"CCTP\x01"
+
+
+def encode_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: dict,
+                    profile: str = "ref") -> bytes:
     """One cool-chic decoder -> [CoolChicHeader || NN bytes || latent bytes]."""
     bytes_nn, n_pad = encode_network(cc_params, cfg, q_shift, expgol)
 
@@ -51,17 +56,23 @@ def encode_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol:
         nn_n_bytes=len(bytes_nn), nn_n_bit_pad=n_pad, n_bytes_latent=0)
 
     nn_int = _int_arm_params(cc_params, cfg, q_shift)
-    bytes_latent = encode_coolchic_latents(header, nn_int, quantized_latents)
+    bytes_latent = encode_coolchic_latents(header, nn_int, quantized_latents,
+                                           profile=profile)
     return header.to_bytes() + bytes_nn + bytes_latent
 
 
 def encode_frame(frame_params: dict, fcfg: FrameConfig, coding_structure: CodingStructure,
-                 nn_side_info: dict, is_first_frame: bool = True) -> bytes:
+                 nn_side_info: dict, is_first_frame: bool = True,
+                 profile: str = "ref") -> bytes:
     """Serialize one frame.
 
     nn_side_info: {cc_name: (q_shift dict, expgol dict)} from quantize_model.
+    profile: "ref" = reference bit-compatible; "tpu" = parallel-stream latent
+    payloads inside a CCTP container (docs/tpu_profile.md).
     """
     out = b""
+    if is_first_frame and profile == "tpu":
+        out += TPU_PROFILE_MAGIC
     if is_first_frame:
         out += VideoHeader(
             n_frames=coding_structure.n_frames,
@@ -88,5 +99,6 @@ def encode_frame(frame_params: dict, fcfg: FrameConfig, coding_structure: Coding
     cc_names = ["residue"] + (["motion"] if fcfg.frame_type in ("P", "B") else [])
     for name in cc_names:
         q_shift, expgol = nn_side_info[name]
-        out += encode_coolchic(frame_params[name], fcfg.cc_cfgs[name], q_shift, expgol)
+        out += encode_coolchic(frame_params[name], fcfg.cc_cfgs[name], q_shift, expgol,
+                               profile=profile)
     return out

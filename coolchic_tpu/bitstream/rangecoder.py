@@ -58,6 +58,9 @@ def _load() -> ctypes.CDLL:
     lib.rc_code_grid.argtypes = [p, ctypes.c_int32] + [ctypes.c_int32] * 4 + [p] \
         + [ctypes.c_int32] + [p] * 5
     lib.rc_code_grid.restype = ctypes.c_int32
+    lib.rc_code_grid_streams.argtypes = [p, ctypes.c_int32, ctypes.c_int32] \
+        + [ctypes.c_int32] * 4 + [p] + [ctypes.c_int32] + [p] * 5
+    lib.rc_code_grid_streams.restype = ctypes.c_int32
     lib.rc_arm_forward.argtypes = [p, i64, ctypes.c_int32, ctypes.c_int32,
                                    p, p, p, p, ctypes.c_int32, ctypes.c_int32, p]
     lib.rc_arm_forward.restype = ctypes.c_int32
@@ -217,4 +220,44 @@ def code_grid(coder, is_encode: bool, h: int, w: int, n_spatial_ctx: int,
     )
     if err != 0:
         raise RuntimeError(f"rc_code_grid failed with error {err}")
+    return buf.reshape(h, w)
+
+
+def code_grid_streams(coders: list, is_encode: bool, h: int, w: int, n_spatial_ctx: int,
+                      ifce_ctx: np.ndarray | None, arm_fp: "dict",
+                      ctx_flat_idx: np.ndarray,
+                      data: np.ndarray | None = None) -> np.ndarray:
+    """`tpu`-profile variant of code_grid: pixel j of wavefront k is coded on
+    stream j % len(coders), so a decoder can retire all streams of one
+    wavefront in parallel (lanes on TPU, threads on host)."""
+    lib = get_lib()
+    n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
+    if ifce_ctx is None:
+        ifce_arr = np.zeros((0,), dtype=np.int64)
+    else:
+        ifce_arr = np.ascontiguousarray(ifce_ctx.reshape(h * w, n_ifce), dtype=np.int64)
+
+    weights = np.concatenate([np.ascontiguousarray(wi, dtype=np.int64).reshape(-1)
+                              for wi in arm_fp["trunk_weights"]])
+    biases = np.concatenate([np.ascontiguousarray(bi, dtype=np.int64).reshape(-1)
+                             for bi in arm_fp["trunk_biases"]])
+    stab_w = np.ascontiguousarray(arm_fp["stab_weight"], dtype=np.int64)
+    stab_b = np.ascontiguousarray(arm_fp["stab_bias"], dtype=np.int64)
+    ctx_flat_idx = np.ascontiguousarray(ctx_flat_idx, dtype=np.int32)
+
+    if is_encode:
+        buf = np.ascontiguousarray(data, dtype=np.int64).reshape(h * w).copy()
+    else:
+        buf = np.zeros(h * w, dtype=np.int64)
+
+    handles = (ctypes.c_void_p * len(coders))(*[c.handle() for c in coders])
+    err = lib.rc_code_grid_streams(
+        handles, len(coders), 1 if is_encode else 0, h, w, n_spatial_ctx, n_ifce,
+        _ptr(ifce_arr) if n_ifce else None,
+        len(arm_fp["trunk_weights"]),
+        _ptr(weights), _ptr(biases), _ptr(stab_w), _ptr(stab_b),
+        _ptr(ctx_flat_idx), _ptr(buf),
+    )
+    if err != 0:
+        raise RuntimeError(f"rc_code_grid_streams failed with error {err}")
     return buf.reshape(h, w)

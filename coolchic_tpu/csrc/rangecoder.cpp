@@ -865,14 +865,19 @@ int32_t rc_arm_forward(const int64_t* x, int64_t n, int32_t n_spatial_plus_ifce,
     return 0;
 }
 
-int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
-                     int32_t n_spatial_ctx, int32_t n_ifce_ctx, const int64_t* ifce_ctx,
-                     int32_t n_trunk, const int64_t* weights, const int64_t* biases,
-                     const int64_t* stab_w, const int64_t* stab_b,
-                     const int32_t* ctx_flat_idx,  // [n_spatial_ctx] 9x9 indices
-                     int64_t* data) {
+// Shared implementation: one latent grid coded over `n_streams` interleaved
+// range-coder streams. Pixel j of wavefront k goes to stream j % n_streams
+// (the `tpu` bitstream profile; n_streams == 1 is the reference format).
+static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encode,
+                              int32_t h, int32_t w,
+                              int32_t n_spatial_ctx, int32_t n_ifce_ctx,
+                              const int64_t* ifce_ctx,
+                              int32_t n_trunk, const int64_t* weights,
+                              const int64_t* biases,
+                              const int64_t* stab_w, const int64_t* stab_b,
+                              const int32_t* ctx_flat_idx, int64_t* data) {
     int dim = n_spatial_ctx + n_ifce_ctx;
-    if (dim > 64) return -1;
+    if (dim > 64 || n_streams < 1) return -1;
 
     int w_pad = w + 2 * PAD;
     int h_pad = h + 2 * PAD;
@@ -926,8 +931,8 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
         tp = t;
     }
 
-    Encoder* enc = is_encode ? static_cast<Encoder*>(coder) : nullptr;
-    Decoder* dec = is_encode ? nullptr : static_cast<Decoder*>(coder);
+    Encoder** encs = is_encode ? reinterpret_cast<Encoder**>(coders) : nullptr;
+    Decoder** decs = is_encode ? nullptr : reinterpret_cast<Decoder**>(coders);
     int64_t n_mu = int64_t(g_mu_table.size());
 
     if (is_encode) {  // validate symbols upfront; also fills the context buffer
@@ -941,7 +946,7 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
     }
 
     // Entropy-code one symbol given the fixed-point ARM output (mu, log-scale).
-    auto code_symbol = [&](int pos, int64_t out_mu, int64_t out_ls) {
+    auto code_symbol = [&](int stream, int pos, int64_t out_mu, int64_t out_ls) {
         int64_t idx_mu = out_mu - MU_MIN_FP;
         if (idx_mu < 0) idx_mu = 0;
         if (idx_mu >= n_mu) idx_mu = n_mu - 1;
@@ -958,8 +963,9 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
             left = left_cum_tab(s, mu_fp, t);
             prob = (s >= SYM_MAX) ? uint32_t((1u << PRECISION) - left)
                                   : left_cum_tab(s + 1, mu_fp, t) - left;
-            enc->encode(left, prob);
+            encs[stream]->encode(left, prob);
         } else {
+            Decoder* dec = decs[stream];
             uint64_t scale64 = dec->range >> PRECISION;
             uint32_t quantile = dec->quantile();
             InvResult r = invert_quantile_tab(quantile, mu, mu_fp, t);
@@ -973,10 +979,18 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
         }
     };
 
+    // Index within the wavefront -> stream id, for any linear pixel index.
+    size_t wf_cursor = 0;
+    auto stream_of = [&](size_t i) {
+        while (size_t(wf_start[wf_cursor + 1]) <= i) ++wf_cursor;
+        return int((i - size_t(wf_start[wf_cursor])) % size_t(n_streams));
+    };
+
     if (!use_fast) {  // scalar int64 fallback, pixel by pixel
         ArmFixedPoint arm;
         build_arm(arm, dim, 2, n_trunk, weights, biases, stab_w, stab_b);
-        for (int32_t pos : order) {
+        for (size_t i = 0; i < order.size(); ++i) {
+            int32_t pos = order[i];
             int64_t ctx[64];
             for (int k = 0; k < n_spatial_ctx; ++k) ctx[k] = buf[size_t(pos + offs[k])];
             if (n_ifce_ctx > 0) {
@@ -987,7 +1001,7 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
             }
             int64_t out2[2];
             arm.forward(ctx, out2, OUTPUT_SHIFT);
-            code_symbol(pos, out2[0], out2[1]);
+            code_symbol(stream_of(i), pos, out2[0], out2[1]);
         }
         return 0;
     }
@@ -1031,7 +1045,8 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
                 ls_v[c0 + b] = int64_t(out2[size_t(BCAP) + b]);
             }
         }
-        for (size_t i = 0; i < n; ++i) code_symbol(order[i], mu_v[i], ls_v[i]);
+        for (size_t i = 0; i < n; ++i)
+            code_symbol(stream_of(i), order[i], mu_v[i], ls_v[i]);
         return 0;
     }
 
@@ -1057,13 +1072,40 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
                 g_prof.t_arm += t - tp;
                 tp = t;
             }
+            int base = c0 - start;  // index of this chunk within the wavefront
             for (int b = 0; b < batch; ++b)
-                code_symbol(order[size_t(c0) + b], int64_t(out2[size_t(b)]),
+                code_symbol((base + b) % n_streams, order[size_t(c0) + b],
+                            int64_t(out2[size_t(b)]),
                             int64_t(out2[size_t(BCAP) + b]));
             if (g_prof.on) g_prof.t_serial += now_s() - tp;
         }
     }
     return 0;
+}
+
+int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
+                     int32_t n_spatial_ctx, int32_t n_ifce_ctx, const int64_t* ifce_ctx,
+                     int32_t n_trunk, const int64_t* weights, const int64_t* biases,
+                     const int64_t* stab_w, const int64_t* stab_b,
+                     const int32_t* ctx_flat_idx,  // [n_spatial_ctx] 9x9 indices
+                     int64_t* data) {
+    return code_grid_impl(&coder, 1, is_encode, h, w, n_spatial_ctx, n_ifce_ctx,
+                          ifce_ctx, n_trunk, weights, biases, stab_w, stab_b,
+                          ctx_flat_idx, data);
+}
+
+// `tpu` profile: n_streams interleaved constriction streams per grid.
+int32_t rc_code_grid_streams(void** coders, int32_t n_streams, int32_t is_encode,
+                             int32_t h, int32_t w,
+                             int32_t n_spatial_ctx, int32_t n_ifce_ctx,
+                             const int64_t* ifce_ctx,
+                             int32_t n_trunk, const int64_t* weights,
+                             const int64_t* biases,
+                             const int64_t* stab_w, const int64_t* stab_b,
+                             const int32_t* ctx_flat_idx, int64_t* data) {
+    return code_grid_impl(coders, n_streams, is_encode, h, w, n_spatial_ctx,
+                          n_ifce_ctx, ifce_ctx, n_trunk, weights, biases,
+                          stab_w, stab_b, ctx_flat_idx, data);
 }
 
 void rc_prof_dump() {

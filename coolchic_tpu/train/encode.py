@@ -142,11 +142,12 @@ def encode_image(frame: FrameData, cfgs: dict[str, CoolChicConfig], preset: Pres
 def encode_image_to_bitstream(frame: FrameData, cfgs: dict[str, CoolChicConfig],
                               preset: Preset, bitstream_path: str, *,
                               seed: int = 0, verbose: bool = True,
-                              rdoq: bool = True) -> dict:
+                              rdoq: bool = True, profile: str = "ref") -> dict:
     params, fcfg, nn_side_info, logs = encode_image(
         frame, cfgs, preset, seed=seed, verbose=verbose, rdoq=rdoq)
     cs = CodingStructure(n_frames=1, intra_pos=[0])
-    payload = encode_frame(params, fcfg, cs, nn_side_info, is_first_frame=True)
+    payload = encode_frame(params, fcfg, cs, nn_side_info, is_first_frame=True,
+                           profile=profile)
     with open(bitstream_path, "wb") as f:
         f.write(payload)
     n_pixels = frame.n_pixels

@@ -86,7 +86,8 @@ def guided_motion_pretraining(target_flows: list[np.ndarray], motion_cfg, preset
 def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path: str,
                      workdir: str, preset: Preset, cfg_args: dict[str, dict],
                      warp_filter_size: int = 8, seed: int = 0, verbose: bool = True,
-                     rdoq: bool = True, tune: str = "mse") -> dict:
+                     rdoq: bool = True, tune: str = "mse",
+                     profile: str = "ref") -> dict:
     """Encode one frame; returns {bitstream bytes, logs}. Decoded refs are
     read from (and this frame's decoded output written to) the workdir."""
     frame.set_frame_data(load_frame_data_from_file(
@@ -105,7 +106,7 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
             print(f"frame {frame.display_order}: resuming from {ckpt_path}", flush=True)
         params, fcfg, nn_side_info = load_frame_encoder(ckpt_path)
         return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
-                               fdata, workdir, is_image, verbose)
+                               fdata, workdir, is_image, verbose, profile=profile)
 
     # Decoded references from the workdir.
     refs_data = []
@@ -194,8 +195,14 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
 
     refs_arg = refs_dense if frame.frame_type != "I" else None
     if preset.warmup.phases:
+        # The vmapped warm-up multiplies every activation by the candidate
+        # count; past ~1.5 Mpix-equivalents the remote TPU worker dies
+        # (observed at 5 x 512x768 on v5e lite), so large frames fall back to
+        # the reference's sequential tournament.
+        batched_px_budget = int(os.environ.get("COOLCHIC_WARMUP_BATCH_PX", 1_500_000))
+        batched_ok = fdata.n_pixels * len(candidates) <= batched_px_budget
         wu = warmup_batched if (jax.default_backend() != "cpu"
-                                and len(candidates) > 1) else warmup
+                                and len(candidates) > 1 and batched_ok) else warmup
         params = wu(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
                     key=key, monitor=monitor, verbose=verbose)
     else:
@@ -248,12 +255,13 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
 
     save_frame_encoder(ckpt_path, params, fcfg, nn_side_info)
     return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
-                           fdata, workdir, is_image, verbose)
+                           fdata, workdir, is_image, verbose, profile=profile)
 
 
 def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dict,
                     fcfg: FrameConfig, nn_side_info: dict, fdata: FrameData,
-                    workdir: str, is_image: bool, verbose: bool) -> dict:
+                    workdir: str, is_image: bool, verbose: bool,
+                    profile: str = "ref") -> dict:
     """Bitstream write + decoded-frame save + final logs (shared between the
     fresh-encode and resume-from-checkpoint paths)."""
     from coolchic_tpu.models.frame import frame_cr_grids as _cr, frame_encoder_forward
@@ -270,7 +278,8 @@ def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dic
     logs = test(params, fcfg, target, refs=refs_arg, cr=cr)
 
     payload = encode_frame(params, fcfg, coding_structure, nn_side_info,
-                           is_first_frame=frame.coding_order == 0)
+                           is_first_frame=frame.coding_order == 0,
+                           profile=profile)
 
     out = frame_encoder_forward(params, fcfg, reference_frames=refs_arg,
                                 training=False, cr=cr)

@@ -1,0 +1,293 @@
+"""Batch image encoding: many images as ONE jitted training program.
+
+The overfitting encoder is embarrassingly parallel across images (each image
+owns its params/optimizer/target), so a whole dataset sweep -- e.g. the
+24-image Kodak set x 5 lambda points behind `results/v5.0/image-kodak.tsv` --
+maps onto a chip as a vmapped batch and onto a pod slice as `shard_map` over
+the "data" mesh axis with ZERO steady-state collectives. The reference
+encodes one image per process and schedules them with slurm `afterok` chains
+(reference samples/encode.py:147-183, _getcodingstruct.py:17-91); here the
+batch IS the program.
+
+Pipeline per phase (mirrors train.train, vectorized over images):
+  window (freq_valid steps, scan of SOAP blocks) -> batched eval ->
+  per-image best-snapshot masked update -> per-image patience reload.
+Warm-up runs every candidate as a batched pass over all images and keeps the
+per-image argmin. NN quantization + bitstream write then run per image on
+the host (cheap next to training).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coolchic_tpu.bitstream.encode import encode_frame
+from coolchic_tpu.core.arch import CoolChicConfig
+from coolchic_tpu.io.framedata import FrameData
+from coolchic_tpu.models.frame import FrameConfig, frame_cr_grids, frame_encoder_init
+from coolchic_tpu.nnquant.quantize import quantize_coolchic
+from coolchic_tpu.train.encode import _target_from_frame, img_min_max
+from coolchic_tpu.train.presets import Preset
+from coolchic_tpu.train.train import (
+    EncoderMonitor,
+    _make_fns,
+    cosine_lr,
+    linear_schedule,
+    logs_from_loss,
+    test,
+)
+from coolchic_tpu.utils.codingstructure import CodingStructure
+
+
+def _stack(trees: list):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _index(tree, i: int):
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+def _select(mask_b, new, old):
+    """Per-image masked pytree update (mask over the leading batch axis)."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(mask_b.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+        new, old)
+
+
+def _make_batched(fns, mesh):
+    """vmapped (and optionally shard_map'd over mesh axis "data") window and
+    eval over the image batch. The window's step counts are STATIC (they pick
+    the scan lengths), so `window` is jitted with them as static args and the
+    mapped closure captures them."""
+    from functools import partial
+
+    def make_window_v(n_blocks, rem):
+        def window_one(params, opt_state, k, target, lr, temp, noise):
+            carry = (params, opt_state, k, lr, temp, noise, target, None, None)
+            if n_blocks > 0:
+                carry, _ = jax.lax.scan(fns["block"], carry, None, length=n_blocks)
+            if rem > 0:
+                carry, _ = jax.lax.scan(fns["plain_step"], carry, None, length=rem)
+            return carry[0], carry[1], carry[2]
+
+        return jax.vmap(window_one, in_axes=(0, 0, 0, 0, None, None, None))
+
+    eval_v = jax.vmap(lambda p, t: fns["eval_fn"](p, t, None, None))
+
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        b = P("data")
+
+        @partial(jax.jit, static_argnums=(7, 8))
+        def window(p, o, k, t, lr, temp, noise, n_blocks, rem):
+            wm = jax.shard_map(
+                make_window_v(n_blocks, rem), mesh=mesh,
+                in_specs=(b, b, b, b, P(), P(), P()),
+                out_specs=(b, b, b), check_vma=False)
+            return wm(p, o, k, t, jnp.float32(lr), jnp.float32(temp),
+                      jnp.float32(noise))
+
+        eval_m = jax.shard_map(eval_v, mesh=mesh, in_specs=(b, b),
+                               out_specs=b, check_vma=False)
+        return window, jax.jit(eval_m)
+
+    @partial(jax.jit, static_argnums=(7, 8))
+    def window(p, o, k, t, lr, temp, noise, n_blocks, rem):
+        return make_window_v(n_blocks, rem)(p, o, k, t, jnp.float32(lr),
+                                            jnp.float32(temp), jnp.float32(noise))
+
+    return window, jax.jit(eval_v)
+
+
+def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose):
+    """One training phase over the image batch; returns best params per image."""
+    from coolchic_tpu.train.train import init_opt_state
+
+    n = targets_b.shape[0] if not isinstance(targets_b, dict) \
+        else next(iter(targets_b.values())).shape[0]
+    fns = _make_fns(
+        fcfg, phase.quantizer_noise_type, phase.quantizer_type,
+        tuple(sorted(phase.dist_weight.items())), phase.lmbda,
+        tuple(phase.betas_model), tuple(phase.betas_latent),
+        phase.precondition_frequency_model, phase.freq_valid, False)
+    window, eval_b = _make_batched(fns, mesh)
+    pf = fns["pf"]
+
+    opt1 = init_opt_state(_index(params_b, 0), fns["hp_weight"], fns["hp_latent"])
+    opt_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape).copy(), opt1)
+    keys = jax.random.split(key, n)
+
+    best_loss = eval_b(params_b, targets_b).loss
+    best_params = params_b
+
+    n_windows = math.ceil(phase.max_itr / phase.freq_valid)
+    t_max = phase.max_itr / phase.freq_valid
+    patience_windows = max(phase.patience // phase.freq_valid, 1)
+    since_record = np.zeros(n, dtype=np.int64)
+
+    cnt = 0
+    for w_idx in range(n_windows):
+        if phase.schedule_lr and (since_record > patience_windows).any():
+            reload = jnp.asarray(since_record > patience_windows)
+            params_b = _select(reload, best_params, params_b)
+            since_record[np.asarray(reload)] = 0
+
+        lr = cosine_lr(phase.lr, w_idx, t_max) if phase.schedule_lr else phase.lr
+        temp = linear_schedule(phase.softround_temperature, cnt, phase.max_itr)
+        noise = linear_schedule(phase.noise_parameter, cnt, phase.max_itr)
+        n_steps = min(phase.freq_valid, phase.max_itr - cnt)
+
+        params_b, opt_b, keys = window(params_b, opt_b, keys, targets_b,
+                                       lr, temp, noise, n_steps // pf, n_steps % pf)
+        cnt += n_steps
+        monitor.iterations_counter += n_steps * n
+
+        lo = eval_b(params_b, targets_b)
+        improved = lo.loss < best_loss
+        best_loss = jnp.where(improved, lo.loss, best_loss)
+        best_params = _select(improved, params_b, best_params)
+        imp = np.asarray(improved)
+        since_record = np.where(imp, 0, since_record + 1)
+        if verbose:
+            ls = " ".join(f"{v * 1e3:7.4f}" for v in np.asarray(lo.loss))
+            print(f"  itr {cnt:>6} losses(1e-3) [{ls}] lr {lr:.5f}", flush=True)
+
+    return best_params, best_loss
+
+
+def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicConfig],
+                          preset: Preset, out_paths: Sequence[str], *,
+                          mesh=None, seed: int = 0, verbose: bool = True,
+                          rdoq: bool = True, profile: str = "ref") -> list[dict]:
+    """Encode N same-sized I-frames as one batched program; write one
+    bitstream per image. Returns per-image result dicts."""
+    n = len(frames)
+    assert len(out_paths) == n
+    h, w = frames[0].img_size
+    for f in frames:
+        assert f.img_size == (h, w), "batched encode needs same-sized images"
+        assert f.frame_data_type == frames[0].frame_data_type
+        assert f.bitdepth == frames[0].bitdepth
+
+    fcfg = FrameConfig(coolchic_cfg=cfgs, frame_type="I",
+                       frame_data_type=frames[0].frame_data_type,
+                       bitdepth=frames[0].bitdepth)
+    targets_b = _stack([_target_from_frame(f) for f in frames])
+    assert not any(c.flag_common_randomness for c in cfgs.values()), \
+        "batched encode does not support common randomness yet"
+    monitor = EncoderMonitor()
+    t_start = time.time()
+
+    key = jax.random.PRNGKey(seed)
+    n_candidates = preset.warmup.phases[0].candidates if preset.warmup.phases else 1
+
+    # --- Warm-up: each candidate seed trains batched over all images; the
+    # per-image argmin survives. (The reference's multi-stage pruning is a
+    # per-image tournament; over a batch the single-stage argmin keeps the
+    # same winners at a fraction of the orchestration.)
+    if preset.warmup.phases and n_candidates > 1:
+        wu_phase = preset.warmup.phases[0].training_phase
+        cand_best = None
+        cand_best_loss = None
+        for c in range(n_candidates):
+            key, sub = jax.random.split(key)
+            init_keys = jax.random.split(sub, n)
+            params_b = _stack([frame_encoder_init(init_keys[i], fcfg,
+                                                  img_min_max(frames[i]))
+                               for i in range(n)])
+            key, sub = jax.random.split(key)
+            params_b, loss_b = _batched_phase(params_b, targets_b, fcfg, wu_phase,
+                                              sub, mesh, monitor, verbose=False)
+            if cand_best is None:
+                cand_best, cand_best_loss = params_b, loss_b
+            else:
+                better = loss_b < cand_best_loss
+                cand_best = _select(better, params_b, cand_best)
+                cand_best_loss = jnp.where(better, loss_b, cand_best_loss)
+            if verbose:
+                ls = " ".join(f"{v * 1e3:.4f}" for v in np.asarray(loss_b))
+                print(f"warm-up candidate {c}: losses(1e-3) [{ls}]", flush=True)
+        params_b = cand_best
+    else:
+        key, sub = jax.random.split(key)
+        init_keys = jax.random.split(sub, n)
+        params_b = _stack([frame_encoder_init(init_keys[i], fcfg,
+                                              img_min_max(frames[i]))
+                           for i in range(n)])
+
+    # --- Main phases, batched.
+    for idx, phase in enumerate(preset.training_phases):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        params_b, _ = _batched_phase(params_b, targets_b, fcfg, phase, sub, mesh,
+                                     monitor, verbose)
+        if verbose:
+            print(f"phase {idx} done in {time.time() - t0:.1f}s", flush=True)
+
+    # --- Per-image: NN quantization + bitstream write + logs (host loop; the
+    # jitted eval is compiled once and reused across images).
+    phase0 = preset.training_phases[-1]
+    n_pixels = frames[0].n_pixels
+    results = []
+    cs = CodingStructure(n_frames=1, intra_pos=[0])
+    for i in range(n):
+        params = _index(params_b, i)
+        params = jax.tree_util.tree_map(np.asarray, params)
+        target = _target_from_frame(frames[i])
+
+        eval_fn = _make_fns(
+            fcfg, "none", "hardround", tuple(sorted(phase0.dist_weight.items())),
+            phase0.lmbda, (0.95, 0.95), (0.9, 0.999), 10, 1, False)["eval_fn"]
+        nn_side_info = {}
+        for cc_name in fcfg.cc_cfgs:
+            def eval_loss(cc_params, total_nn_bits, _name=cc_name, _p=params, _t=target):
+                trial = dict(_p)
+                trial[_name] = cc_params
+                lo = eval_fn(trial, _t, None, None)
+                return float(lo.loss) + phase0.lmbda * total_nn_bits / n_pixels
+
+            q_params, q_shift, expgol, _ = quantize_coolchic(
+                params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, phase0.lmbda,
+                n_pixels, verbose=False)
+            if rdoq:
+                from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
+
+                rdoq_target = target if not isinstance(target, dict) else None
+                modules = ("arm", "synthesis") if rdoq_target is not None else ("arm",)
+                q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift,
+                                         expgol, phase0.lmbda, target=rdoq_target,
+                                         frame_type="I", modules=modules, verbose=False)
+            params = dict(params)
+            params[cc_name] = q_params
+            nn_side_info[cc_name] = (q_shift, expgol)
+
+        logs = test(params, fcfg, target, dist_weight=phase0.dist_weight,
+                    lmbda=phase0.lmbda)
+        payload = encode_frame(params, fcfg, cs, nn_side_info, is_first_frame=True,
+                               profile=profile)
+        with open(out_paths[i], "wb") as f:
+            f.write(payload)
+        results.append({
+            "psnr_db": logs.psnr_db,
+            "loss": logs.loss,
+            "rate_bpp": 8 * len(payload) / n_pixels,
+            "latent_rate_bpp": logs.total_rate_latent_bpp,
+            "n_bytes": len(payload),
+            "n_pixels": n_pixels,
+        })
+        if verbose:
+            print(f"image {i}: psnr {logs.psnr_db:.3f} dB, "
+                  f"{results[-1]['rate_bpp']:.4f} bpp -> {out_paths[i]}", flush=True)
+
+    if verbose:
+        print(f"batch of {n} images done in {time.time() - t_start:.1f}s "
+              f"({monitor.iterations_counter} candidate-iterations)", flush=True)
+    return results

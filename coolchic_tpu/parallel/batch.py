@@ -72,7 +72,8 @@ def make_batched_window(fcfg: FrameConfig, pkey: tuple, freq_valid: int, mesh: M
     one_step = fns["plain_step"]
 
     def window_one(params, opt_state, key, lr, temp, noise, target):
-        carry = (params, opt_state, key, lr, temp, noise, target, None, None)
+        carry = (params, opt_state, key, lr, temp, noise, target, None, None,
+                 fns["lmbda"])
         carry, _ = jax.lax.scan(one_step, carry, None, length=freq_valid)
         return carry[0], carry[1], carry[2]
 

@@ -69,7 +69,8 @@ def _make_batched(fns, mesh):
 
     def make_window_v(n_blocks, rem):
         def window_one(params, opt_state, k, target, lr, temp, noise):
-            carry = (params, opt_state, k, lr, temp, noise, target, None, None)
+            carry = (params, opt_state, k, lr, temp, noise, target, None, None,
+                     fns["lmbda"])
             if n_blocks > 0:
                 carry, _ = jax.lax.scan(fns["block"], carry, None, length=n_blocks)
             if rem > 0:

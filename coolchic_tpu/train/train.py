@@ -59,11 +59,39 @@ class EncoderMonitor:
 # ---------------------------------------------------------------------------
 # Jitted building blocks (cached per (fcfg, phase knobs)).
 # ---------------------------------------------------------------------------
-@lru_cache(maxsize=64)
 def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
               dist_weight: tuple, lmbda: float,
               betas_model: tuple, betas_latent: tuple,
               precondition_frequency_model: int, freq_valid: int, has_refs: bool):
+    """Jitted training/eval builders. lambda is a TRACED scalar inside the
+    graphs (appended to the scan carry), so one XLA compile serves every
+    rate point -- the lambda passed here is only bound into the returned
+    convenience wrappers."""
+    impl = _make_fns_impl(fcfg, quantizer_noise_type, quantizer_type, dist_weight,
+                          betas_model, betas_latent, precondition_frequency_model,
+                          freq_valid, has_refs)
+    lam = jnp.float32(lmbda)
+
+    def train_window(params, opt_state, key, lr, temp, noise, target, refs, cr,
+                     length=freq_valid):
+        return impl["train_window"](params, opt_state, key, lr, temp, noise,
+                                    target, refs, cr, lam, length=length)
+
+    def eval_fn(params, target, refs, cr):
+        return impl["eval_fn"](params, target, refs, cr, lam)
+
+    out = dict(impl)
+    out["train_window"] = train_window
+    out["eval_fn"] = eval_fn
+    out["lmbda"] = lam
+    return out
+
+
+@lru_cache(maxsize=64)
+def _make_fns_impl(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
+                   dist_weight: tuple,
+                   betas_model: tuple, betas_latent: tuple,
+                   precondition_frequency_model: int, freq_valid: int, has_refs: bool):
     dist_weight_d = dict(dist_weight)
 
     hp_weight = SoapHyperParams(
@@ -84,7 +112,7 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
                 dist = dist + wasserstein_distortion(fa, fb)
             return dist
 
-    def loss_of(params, key, temp, noise, target, refs, cr):
+    def loss_of(params, key, temp, noise, target, refs, cr, lmbda):
         out = frame_encoder_forward(
             params, fcfg, reference_frames=refs, key=key,
             quantizer_noise_type=quantizer_noise_type, quantizer_type=quantizer_type,
@@ -97,9 +125,9 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
 
     def _make_step(refresh: bool):
         def one_step(carry, _):
-            params, opt_state, key, lr, temp, noise, target, refs, cr = carry
+            params, opt_state, key, lr, temp, noise, target, refs, cr, lmbda = carry
             key, sub = jax.random.split(key)
-            grads = grad_fn(params, sub, temp, noise, target, refs, cr)
+            grads = grad_fn(params, sub, temp, noise, target, refs, cr, lmbda)
 
             leaves_p, treedef = jax.tree_util.tree_flatten(params)
             groups = group_tree(params)
@@ -126,7 +154,8 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
                 new_s.append(s2)
             params = jax.tree_util.tree_unflatten(treedef, new_p)
             opt_state = jax.tree_util.tree_unflatten(treedef, new_s)
-            return (params, opt_state, key, lr, temp, noise, target, refs, cr), None
+            return (params, opt_state, key, lr, temp, noise, target, refs, cr,
+                    lmbda), None
 
         return one_step
 
@@ -146,8 +175,8 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
 
     @partial(jax.jit, static_argnames="length")
     def train_window(params, opt_state, key, lr, temp, noise, target, refs, cr,
-                     length=freq_valid):
-        carry = (params, opt_state, key, lr, temp, noise, target, refs, cr)
+                     lmbda, length=freq_valid):
+        carry = (params, opt_state, key, lr, temp, noise, target, refs, cr, lmbda)
         n_blocks, rem = divmod(length, pf)
         if n_blocks > 0:
             carry, _ = jax.lax.scan(_block, carry, None, length=n_blocks)
@@ -162,7 +191,7 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
     # first refresh step instead (pf=1 in warm-up -> from step 1).
 
     @jax.jit
-    def eval_fn(params, target, refs, cr):
+    def eval_fn(params, target, refs, cr, lmbda):
         out = frame_encoder_forward(params, fcfg, reference_frames=refs,
                                     training=False, cr=cr)
         return loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda,

@@ -77,7 +77,8 @@ def warmup_batched(candidates: list[dict], preset: Preset, fcfg: FrameConfig, ta
         def window_one(params, opt_state, k, length_blocks, rem):
             carry = (params, opt_state, k, jnp.float32(ph.lr),
                      jnp.float32(ph.softround_temperature[0]),
-                     jnp.float32(ph.noise_parameter[0]), target, refs, cr)
+                     jnp.float32(ph.noise_parameter[0]), target, refs, cr,
+                     fns["lmbda"])
             if length_blocks > 0:
                 carry, _ = jax.lax.scan(fns["block"], carry, None, length=length_blocks)
             if rem > 0:

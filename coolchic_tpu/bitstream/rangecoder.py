@@ -27,7 +27,7 @@ _DATA = Path(__file__).resolve().parent / "data"
 
 def _build_library() -> None:
     subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
          str(_CSRC / "rangecoder.cpp"), "-o", str(_LIB_PATH)],
         check=True,
     )

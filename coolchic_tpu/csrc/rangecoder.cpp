@@ -11,7 +11,7 @@
 //    inline with symbol decoding, so one C call decodes a whole grid instead
 //    of one Python->native crossing per wavefront diagonal.
 //
-// Build: g++ -O3 -march=native -shared -fPIC rangecoder.cpp -o libcoolchic_rc.so
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC rangecoder.cpp -o libcoolchic_rc.so
 
 #include <cstdint>
 #include <cmath>
@@ -24,6 +24,10 @@
 
 #ifdef __AVX512F__
 #include <immintrin.h>
+#endif
+
+#ifdef _OPENMP
+#include <omp.h>
 #endif
 
 namespace {
@@ -1010,14 +1014,17 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
     constexpr int BT = ArmBatchF64::BT;
     std::vector<double> X(size_t(dim) * BCAP), out2(size_t(2) * BCAP);
 
-    auto gather = [&](const int32_t* ord, int batch) {
-        if (batch % BT) {  // zero the pad lanes of the final tile
-            size_t t0 = size_t(batch / BT) * dim * BT;
-            std::fill(X.begin() + t0, X.begin() + t0 + size_t(dim) * BT, 0.0);
-        }
-        for (int b = 0; b < batch; ++b) {
+    // Gather + ARM for a range of 64-lane tiles of one chunk -- the unit of
+    // thread parallelism (tiles are disjoint in X and in the output rows).
+    auto gather_tile = [&](const int32_t* ord, int batch, int t, double* Xp) {
+        int b0 = t * BT;
+        int used = std::min(batch - b0, BT);
+        double* xt_base = Xp + size_t(t) * dim * BT;
+        if (used < BT)
+            std::fill(xt_base, xt_base + size_t(dim) * BT, 0.0);
+        for (int b = b0; b < b0 + used; ++b) {
             int pos = ord[b];
-            double* xt = X.data() + size_t(b / BT) * dim * BT + (b % BT);
+            double* xt = xt_base + (b - b0);
             for (int k = 0; k < n_spatial_ctx; ++k)
                 xt[size_t(k) * BT] = double(buf[size_t(pos + offs[k])]) * 65536.0;
             if (n_ifce_ctx > 0) {
@@ -1030,11 +1037,65 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
         }
     };
 
+    auto arm_tile = [&](int batch, int t, double* Xp, double* outp) {
+        int used = std::min(batch - t * BT, BT);
+        int n_lanes = (used + 31) / 32 * 32;
+        fast.forward_tile(Xp + size_t(t) * dim * BT, n_lanes, OUTPUT_SHIFT,
+                          outp + t * BT, BCAP);
+    };
+
+    auto gather = [&](const int32_t* ord, int batch) {
+        int n_tiles = (batch + BT - 1) / BT;
+        for (int t = 0; t < n_tiles; ++t) gather_tile(ord, batch, t, X.data());
+    };
+
+    int n_threads = 1;
+#ifdef _OPENMP
+    {
+        const char* e = getenv("COOLCHIC_CODE_THREADS");
+        n_threads = e ? std::atoi(e) : omp_get_max_threads();
+        if (n_threads < 1) n_threads = 1;
+        if (n_threads > 64) n_threads = 64;
+    }
+#endif
+
     if (is_encode) {
         // All contexts are known upfront (decoded == encoded for a lossless
-        // entropy coder), so the whole grid's ARM runs as one batched pass.
+        // entropy coder), so the whole grid's ARM runs as one batched pass
+        // (chunks split across threads with private buffers), and the
+        // entropy loop parallelizes over stream classes.
         size_t n = order.size();
         std::vector<int64_t> mu_v(n), ls_v(n);
+#ifdef _OPENMP
+        #pragma omp parallel num_threads(n_threads)
+        {
+            std::vector<double> Xp(size_t(dim) * BCAP), outp(size_t(2) * BCAP);
+            #pragma omp for schedule(static)
+            for (int64_t c0 = 0; c0 < int64_t(n); c0 += BCAP) {
+                int batch = int(std::min(int64_t(n) - c0, int64_t(BCAP)));
+                int n_tiles = (batch + BT - 1) / BT;
+                for (int t = 0; t < n_tiles; ++t) {
+                    gather_tile(order.data() + c0, batch, t, Xp.data());
+                    arm_tile(batch, t, Xp.data(), outp.data());
+                }
+                for (int b = 0; b < batch; ++b) {
+                    mu_v[size_t(c0) + b] = int64_t(outp[size_t(b)]);
+                    ls_v[size_t(c0) + b] = int64_t(outp[size_t(BCAP) + b]);
+                }
+            }
+            // Stream class s % T belongs to thread s % T; per-stream symbol
+            // order is the monotone global scan order.
+            int tid = omp_get_thread_num();
+            int T = omp_get_num_threads();
+            size_t cur = 0;
+            for (size_t i = 0; i < n; ++i) {
+                while (size_t(wf_start[cur + 1]) <= i) ++cur;
+                int s = int((i - size_t(wf_start[cur])) % size_t(n_streams));
+                if (s % T == tid)
+                    code_symbol(s, order[i], mu_v[i], ls_v[i]);
+            }
+        }
+#else
         for (size_t c0 = 0; c0 < n; c0 += BCAP) {
             int batch = int(std::min(n - c0, size_t(BCAP)));
             gather(order.data() + c0, batch);
@@ -1047,12 +1108,55 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
         }
         for (size_t i = 0; i < n; ++i)
             code_symbol(stream_of(i), order[i], mu_v[i], ls_v[i]);
+#endif
         return 0;
     }
 
     // Decode: the ARM inputs of one wavefront only touch already-decoded
-    // wavefronts, so each wavefront's ARM runs as one batched forward and
-    // only the range-decoder state update stays serial.
+    // wavefronts, so each wavefront's ARM runs as one batched forward
+    // (tiles split across threads) and the per-wavefront entropy update is
+    // serial per STREAM -- with the tpu profile's interleaved streams it
+    // parallelizes over stream classes too.
+#ifdef _OPENMP
+    if (n_threads > 1) {
+        g_scale_cache.get(0);  // size the shared slot table before the region
+        #pragma omp parallel num_threads(n_threads)
+        {
+            int tid = omp_get_thread_num();
+            int T = omp_get_num_threads();
+            for (size_t wf = 0; wf + 1 < wf_start.size(); ++wf) {
+                int start = wf_start[wf];
+                int end = wf_start[wf + 1];
+                for (int c0 = start; c0 < end; c0 += BCAP) {
+                    int batch = std::min(end - c0, BCAP);
+                    int n_tiles = (batch + BT - 1) / BT;
+                    for (int t = tid; t < n_tiles; t += T) {
+                        gather_tile(order.data() + c0, batch, t, X.data());
+                        arm_tile(batch, t, X.data(), out2.data());
+                    }
+                    #pragma omp barrier
+                    int base = c0 - start;
+                    if (n_streams > 1) {
+                        for (int b = 0; b < batch; ++b) {
+                            int s = (base + b) % n_streams;
+                            if (s % T != tid) continue;
+                            code_symbol(s, order[size_t(c0) + b],
+                                        int64_t(out2[size_t(b)]),
+                                        int64_t(out2[size_t(BCAP) + b]));
+                        }
+                    } else if (tid == 0) {
+                        for (int b = 0; b < batch; ++b)
+                            code_symbol(0, order[size_t(c0) + b],
+                                        int64_t(out2[size_t(b)]),
+                                        int64_t(out2[size_t(BCAP) + b]));
+                    }
+                    #pragma omp barrier
+                }
+            }
+        }
+        return 0;
+    }
+#endif
     for (size_t wf = 0; wf + 1 < wf_start.size(); ++wf) {
         int start = wf_start[wf];
         int end = wf_start[wf + 1];

@@ -51,25 +51,30 @@ def _fixed_upsampling_nearest_int(grids: list[np.ndarray]) -> np.ndarray:
 
 
 def _ifce_fixed_params(nn_params: dict, cfg: CoolChicConfig, header: CoolChicHeader,
-                       idx_latent: int) -> dict:
+                       idx_latent: int, model: int = 0) -> dict:
     arm_idx = ifce_arm_index(cfg.input_features_ifce)[idx_latent]
     ifce_arm = nn_params["ifce"]["arms"][arm_idx]
+    kw = dict(stabiliser=None, subtract_last_layer=False, n_inter_ft_ctx=0,
+              no_residual_layer=True)
+    if model == 1:
+        from coolchic_tpu.bitstream.tpu_cdf import arm8_from_int_layers
+
+        return arm8_from_int_layers(
+            ifce_arm["layers"],
+            header.nn_q_step_shift[("ifce", "weight")],
+            header.nn_q_step_shift[("ifce", "bias")], **kw)
     return arm_to_fixed_point(
         ifce_arm["layers"],
         header.nn_q_step_shift[("ifce", "weight")],
-        header.nn_q_step_shift[("ifce", "bias")],
-        stabiliser=None,
-        subtract_last_layer=False,
-        n_inter_ft_ctx=0,
-        no_residual_layer=True,
-    )
+        header.nn_q_step_shift[("ifce", "bias")], **kw)
 
 
 def _ifce_context_for_grid(nn_params: dict, cfg: CoolChicConfig, header: CoolChicHeader,
                            idx_latent: int, decoded: list[np.ndarray],
-                           h_i: int, w_i: int) -> Optional[np.ndarray]:
-    """int64 [h_i * w_i, C_f] IFCE context for the grid being (de)coded, or
-    None when the architecture has no IFCE at all."""
+                           h_i: int, w_i: int, model: int = 0) -> Optional[np.ndarray]:
+    """int64 [h_i * w_i, C_f] IFCE context (X.8) for the grid being
+    (de)coded, or None when the architecture has no IFCE at all. model 1 =
+    tpu-profile X.8 int32 pipeline (tpu_cdf.py), model 0 = reference X.16."""
     if not cfg.flag_ifce:
         return None
 
@@ -83,8 +88,9 @@ def _ifce_context_for_grid(nn_params: dict, cfg: CoolChicConfig, header: CoolChi
         ctx = np.zeros((h * w, cfg.output_feature_ifce), dtype=np.int64)
     else:
         flat = ups.reshape(c, h * w).T  # [(h w), c]
-        fp = _ifce_fixed_params(nn_params, cfg, header, idx_latent)
-        ctx = rc.arm_forward_native(flat, fp, IFCE_OUTPUT_SHIFT)
+        fp = _ifce_fixed_params(nn_params, cfg, header, idx_latent, model=model)
+        out_shift, act_shift = (8, 8) if model == 1 else (IFCE_OUTPUT_SHIFT, 16)
+        ctx = rc.arm_forward_native(flat, fp, out_shift, act_shift=act_shift)
 
     ctx = ctx.T.reshape(-1, h, w)
     ctx = _nearest_x2_int(ctx)[:, :h_i, :w_i]
@@ -145,6 +151,40 @@ def synthesize(nn_params: dict, cfg: CoolChicConfig, latent_grids: list[np.ndarr
     return np.asarray(_synthesize_fn(cfg)(jparams, grids, cr))
 
 
+def _main_arm_params(nn_params: dict, header: CoolChicHeader, cfg: CoolChicConfig,
+                     model: int) -> dict:
+    kw = dict(stabiliser=nn_params["arm"].get("stabiliser"),
+              subtract_last_layer=True, n_inter_ft_ctx=cfg.output_feature_ifce)
+    if model == 1:
+        from coolchic_tpu.bitstream.tpu_cdf import arm8_from_int_layers
+
+        return arm8_from_int_layers(
+            nn_params["arm"]["layers"],
+            header.nn_q_step_shift[("arm", "weight")],
+            header.nn_q_step_shift[("arm", "bias")], **kw)
+    return arm_to_fixed_point(
+        nn_params["arm"]["layers"],
+        header.nn_q_step_shift[("arm", "weight")],
+        header.nn_q_step_shift[("arm", "bias")], **kw)
+
+
+def _check_arm8_certificate(nn_params_int: dict, header: CoolChicHeader,
+                            cfg: CoolChicConfig, arm_fp: dict) -> None:
+    """The tpu profile requires every int32 X.8 ARM intermediate to stay in
+    range (it is what lets the Pallas kernel run pure int32). Spatial inputs
+    are bounded by 64 * 2^8; IFCE context columns by the X.8 IFCE output
+    (conservatively AC_MAX * 2^8 as well -- IFCE outputs are context-scaled
+    latents)."""
+    from coolchic_tpu.bitstream.tpu_cdf import arm8_bounds_ok
+
+    dim = arm_fp["trunk_weights"][0].shape[0]
+    in_bound = np.full(dim, 64.0 * 256.0)
+    if not arm8_bounds_ok(arm_fp, in_bound):
+        raise RuntimeError(
+            "tpu-profile int32 ARM certificate failed (pathological quantized "
+            "weights); re-encode with --profile ref")
+
+
 def grid_n_streams(h: int, w: int) -> int:
     """`tpu`-profile stream count per grid: enough lanes to keep a chip busy
     on big grids, minimal sealing overhead on small ones."""
@@ -163,14 +203,8 @@ def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
     nn_params = decode_network(bytes_nn, cfg, header.nn_q_step_shift,
                                header.nn_expgol_cnt, header.nn_n_bit_pad)
 
-    arm_fp = arm_to_fixed_point(
-        nn_params["arm"]["layers"],
-        header.nn_q_step_shift[("arm", "weight")],
-        header.nn_q_step_shift[("arm", "bias")],
-        stabiliser=nn_params["arm"].get("stabiliser"),
-        subtract_last_layer=True,
-        n_inter_ft_ctx=cfg.output_feature_ifce,
-    )
+    model = 1 if profile == "tpu" else 0
+    arm_fp = _main_arm_params(nn_params, header, cfg, model)
     ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
 
     decoder = rc.RangeDecoder(bytes_latent) if profile == "ref" else None
@@ -178,7 +212,8 @@ def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
     decoded: list[np.ndarray] = []  # largest first
     for idx_latent in range(cfg.n_latent_grids - 1, -1, -1):
         h_i, w_i = cfg.size_per_latent[idx_latent]
-        ifce_ctx = _ifce_context_for_grid(nn_params, cfg, header, idx_latent, decoded, h_i, w_i)
+        ifce_ctx = _ifce_context_for_grid(nn_params, cfg, header, idx_latent, decoded,
+                                          h_i, w_i, model=model)
         if profile == "ref":
             grid = rc.code_grid(decoder, False, h_i, w_i, cfg.spatial_context_arm,
                                 ifce_ctx, arm_fp, ctx_idx)
@@ -194,7 +229,7 @@ def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
                 cursor += 4 * int(c)
             grid = rc.code_grid_streams(decoders, False, h_i, w_i,
                                         cfg.spatial_context_arm, ifce_ctx, arm_fp,
-                                        ctx_idx)
+                                        ctx_idx, model=model)
         decoded.insert(0, grid)
 
     raw_out = synthesize(nn_params, cfg, decoded)
@@ -213,14 +248,10 @@ def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,
     counts][stream words...] with wavefront-interleaved streams (see
     docs/tpu_profile.md)."""
     cfg = header.to_config()
-    arm_fp = arm_to_fixed_point(
-        nn_params_int["arm"]["layers"],
-        header.nn_q_step_shift[("arm", "weight")],
-        header.nn_q_step_shift[("arm", "bias")],
-        stabiliser=nn_params_int["arm"].get("stabiliser"),
-        subtract_last_layer=True,
-        n_inter_ft_ctx=cfg.output_feature_ifce,
-    )
+    model = 1 if profile == "tpu" else 0
+    arm_fp = _main_arm_params(nn_params_int, header, cfg, model)
+    if model == 1:
+        _check_arm8_certificate(nn_params_int, header, cfg, arm_fp)
     ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
 
     encoder = rc.RangeEncoder() if profile == "ref" else None
@@ -229,7 +260,7 @@ def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,
     for idx_latent in range(cfg.n_latent_grids - 1, -1, -1):
         h_i, w_i = cfg.size_per_latent[idx_latent]
         ifce_ctx = _ifce_context_for_grid(nn_params_int, cfg, header, idx_latent, coded,
-                                          h_i, w_i)
+                                          h_i, w_i, model=model)
         data = np.ascontiguousarray(quantized_latents[idx_latent], dtype=np.int64)
         if profile == "ref":
             out = rc.code_grid(encoder, True, h_i, w_i, cfg.spatial_context_arm,
@@ -239,7 +270,7 @@ def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,
             encoders = [rc.RangeEncoder() for _ in range(n_streams)]
             out = rc.code_grid_streams(encoders, True, h_i, w_i,
                                        cfg.spatial_context_arm, ifce_ctx, arm_fp,
-                                       ctx_idx, data=data)
+                                       ctx_idx, data=data, model=model)
             streams = [e.get_bytes() for e in encoders]
             counts = np.array([len(s) // 4 for s in streams], dtype="<u4")
             chunks.append(bytes([n_streams]) + counts.tobytes() + b"".join(streams))

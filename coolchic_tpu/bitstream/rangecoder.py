@@ -58,11 +58,14 @@ def _load() -> ctypes.CDLL:
     lib.rc_code_grid.argtypes = [p, ctypes.c_int32] + [ctypes.c_int32] * 4 + [p] \
         + [ctypes.c_int32] + [p] * 5
     lib.rc_code_grid.restype = ctypes.c_int32
-    lib.rc_code_grid_streams.argtypes = [p, ctypes.c_int32, ctypes.c_int32] \
+    lib.rc_code_grid_streams.argtypes = [p, ctypes.c_int32, ctypes.c_int32,
+                                          ctypes.c_int32] \
         + [ctypes.c_int32] * 4 + [p] + [ctypes.c_int32] + [p] * 5
     lib.rc_code_grid_streams.restype = ctypes.c_int32
+    lib.rc_set_tpu_tables.argtypes = [p, p, p, p, i64]
     lib.rc_arm_forward.argtypes = [p, i64, ctypes.c_int32, ctypes.c_int32,
-                                   p, p, p, p, ctypes.c_int32, ctypes.c_int32, p]
+                                   p, p, p, p, ctypes.c_int32, ctypes.c_int32,
+                                   ctypes.c_int32, p]
     lib.rc_arm_forward.restype = ctypes.c_int32
     return lib
 
@@ -87,6 +90,13 @@ def get_lib() -> ctypes.CDLL:
             mu.ctypes.data_as(ctypes.c_void_p), mu.size,
             scale.ctypes.data_as(ctypes.c_void_p), scale.size,
         )
+        from coolchic_tpu.bitstream.tpu_cdf import tables
+
+        t = tables()
+        args = [np.ascontiguousarray(t[k], dtype=np.uint32)
+                for k in ("exp2_hi", "exp2_mid", "exp2_lo", "slope")]
+        _lib.rc_set_tpu_tables(*[a.ctypes.data_as(ctypes.c_void_p) for a in args],
+                               args[3].size)
     return _lib
 
 
@@ -158,9 +168,11 @@ class RangeDecoder:
             self._h = None
 
 
-def arm_forward_native(x: np.ndarray, arm_fp: dict, output_shift: int) -> np.ndarray:
+def arm_forward_native(x: np.ndarray, arm_fp: dict, output_shift: int,
+                       act_shift: int = 16) -> np.ndarray:
     """Batched fixed-point ARM forward in C++ (int64 matmuls are slow in
-    numpy). x: [B, C] int64 raw contexts -> [B, n_out] int64."""
+    numpy). x: [B, C] int64 raw contexts -> [B, n_out] int64. act_shift 16 =
+    reference X.16 pipeline, 8 = tpu-profile X.8 pipeline."""
     lib = get_lib()
     x = np.ascontiguousarray(x, dtype=np.int64)
     n, dim = x.shape
@@ -174,7 +186,7 @@ def arm_forward_native(x: np.ndarray, arm_fp: dict, output_shift: int) -> np.nda
     out = np.empty((n, n_out), dtype=np.int64)
     err = lib.rc_arm_forward(_ptr(x), n, dim, len(arm_fp["trunk_weights"]),
                              _ptr(weights), _ptr(biases), _ptr(stab_w), _ptr(stab_b),
-                             n_out, output_shift, _ptr(out))
+                             n_out, output_shift, act_shift, _ptr(out))
     if err != 0:
         raise RuntimeError(f"rc_arm_forward failed with error {err}")
     return out
@@ -226,7 +238,7 @@ def code_grid(coder, is_encode: bool, h: int, w: int, n_spatial_ctx: int,
 def code_grid_streams(coders: list, is_encode: bool, h: int, w: int, n_spatial_ctx: int,
                       ifce_ctx: np.ndarray | None, arm_fp: "dict",
                       ctx_flat_idx: np.ndarray,
-                      data: np.ndarray | None = None) -> np.ndarray:
+                      data: np.ndarray | None = None, model: int = 1) -> np.ndarray:
     """`tpu`-profile variant of code_grid: pixel j of wavefront k is coded on
     stream j % len(coders), so a decoder can retire all streams of one
     wavefront in parallel (lanes on TPU, threads on host)."""
@@ -252,7 +264,7 @@ def code_grid_streams(coders: list, is_encode: bool, h: int, w: int, n_spatial_c
 
     handles = (ctypes.c_void_p * len(coders))(*[c.handle() for c in coders])
     err = lib.rc_code_grid_streams(
-        handles, len(coders), 1 if is_encode else 0, h, w, n_spatial_ctx, n_ifce,
+        handles, len(coders), 1 if is_encode else 0, model, h, w, n_spatial_ctx, n_ifce,
         _ptr(ifce_arr) if n_ifce else None,
         len(arm_fp["trunk_weights"]),
         _ptr(weights), _ptr(biases), _ptr(stab_w), _ptr(stab_b),

@@ -215,6 +215,67 @@ struct ScaleTableCache {
 
 ScaleTableCache g_scale_cache;
 
+// Find s maximal with left_cum_tab(s) <= quantile. Returns that left
+// cumulative AND left_cum(s + 1) (valid when s < SYM_MAX) -- the probability
+// mass is prob = left_next - left (the CDF argument of right_cum(s) is
+// exactly that of left_cum(s+1)), so the caller needs no further exp calls.
+struct InvResult {
+    int s;
+    uint32_t left;
+    uint32_t left_next;  // only meaningful when s < SYM_MAX
+};
+
+
+// ---------------------------------------------------------------------------
+// `tpu`-profile integer probability model (normative spec + tables:
+// coolchic_tpu/bitstream/tpu_cdf.py). Pure integer math -- bit-identical on
+// any host and inside the Pallas TPU kernel.
+// ---------------------------------------------------------------------------
+constexpr int TPU_LEAK_STEP = 16;
+constexpr uint32_t TPU_FREE_WEIGHT =
+    (1u << PRECISION) - 1 - uint32_t(SYM_MAX - SYM_MIN) * TPU_LEAK_STEP;
+
+std::vector<uint32_t> g_exp2_hi, g_exp2_mid, g_exp2_lo, g_slope;
+
+inline uint32_t tpu_exp2_neg24(uint64_t t) {
+    uint64_t q = t >> PRECISION;
+    uint32_t f = uint32_t(t & ((1u << PRECISION) - 1));
+    uint64_t hi = g_exp2_hi[f >> 16];
+    uint64_t mid = g_exp2_mid[(f >> 8) & 255];
+    uint64_t lo = g_exp2_lo[f & 255];
+    uint64_t v = (((hi * mid) >> PRECISION) * lo) >> PRECISION;
+    if (q > 40) q = 40;
+    return uint32_t(v >> q);
+}
+
+inline uint32_t tpu_cdf24(int32_t m, uint32_t slope) {
+    uint64_t am = uint64_t(m < 0 ? -int64_t(m) : int64_t(m));
+    uint32_t half = tpu_exp2_neg24(am * slope) >> 1;
+    return m < 0 ? half : (1u << PRECISION) - half;
+}
+
+inline uint32_t tpu_left_cum(int s, int mu_fp, uint32_t slope) {
+    if (s <= SYM_MIN) return 0;
+    int32_t m = int32_t(s) * 256 - 128 - mu_fp;
+    uint64_t c = tpu_cdf24(m, slope);
+    return uint32_t((uint64_t(TPU_FREE_WEIGHT) * c) >> PRECISION)
+           + uint32_t(s - SYM_MIN) * TPU_LEAK_STEP;
+}
+
+// max s with left_cum(s) <= quantile: 7-step binary search (left_cum is
+// strictly increasing by construction, see tpu_cdf.py LEAK_STEP).
+inline InvResult tpu_invert(uint32_t quantile, int mu_fp, uint32_t slope) {
+    int lo = SYM_MIN;
+    for (int step = 64; step >= 1; step >>= 1) {
+        int cand = lo + step;
+        if (cand <= SYM_MAX && tpu_left_cum(cand, mu_fp, slope) <= quantile)
+            lo = cand;
+    }
+    uint32_t l = tpu_left_cum(lo, mu_fp, slope);
+    uint32_t ln = lo < SYM_MAX ? tpu_left_cum(lo + 1, mu_fp, slope) : 0;
+    return {lo, l, ln};
+}
+
 // Laplace CDF at (s - 0.5) given mu = mu_fp * 2^-8: argument index
 // m = s*256 - 128 - mu_fp (sign decides the branch).
 inline double laplace_cdf_tab(int m, const ScaleExpTable* t) {
@@ -246,16 +307,6 @@ inline double fast_log2(double v) {
                                                         t * 0.1391888533622595))));
     return double(e) + l;
 }
-
-// Find s maximal with left_cum_tab(s) <= quantile. Returns that left
-// cumulative AND left_cum(s + 1) (valid when s < SYM_MAX) -- the probability
-// mass is prob = left_next - left (the CDF argument of right_cum(s) is
-// exactly that of left_cum(s+1)), so the caller needs no further exp calls.
-struct InvResult {
-    int s;
-    uint32_t left;
-    uint32_t left_next;  // only meaningful when s < SYM_MAX
-};
 
 inline InvResult invert_quantile_tab(uint32_t quantile, double mu, int mu_fp,
                                      const ScaleExpTable* t) {
@@ -309,6 +360,8 @@ struct ArmFixedPoint {
     int dim = 0;          // total context count C
     int n_out = 2;        // outputs of the last layer (2 for ARM, C_f for IFCE)
     int n_trunk = 0;      // number of trunk linear layers (n_hidden + 1)
+    int act_shift = WEIGHT_SHIFT;  // X.16 reference pipeline; X.8 for tpu model
+    int n_raw_tail = 0;            // trailing inputs NOT shifted (X.8 IFCE, model 1)
     // weights[l]: [in, out] row-major (pre-transposed, x @ W convention).
     std::vector<std::vector<int64_t>> weights;
     std::vector<std::vector<int64_t>> biases;   // [out]
@@ -320,7 +373,8 @@ struct ArmFixedPoint {
     inline void forward(const int64_t* ctx, int64_t* out, int output_shift) const {
         int64_t x[64];
         int64_t y[64];
-        for (int i = 0; i < dim; ++i) x[i] = ctx[i] << WEIGHT_SHIFT;
+        for (int i = 0; i < dim - n_raw_tail; ++i) x[i] = ctx[i] << act_shift;
+        for (int i = dim - n_raw_tail; i < dim; ++i) x[i] = ctx[i];
 
         int64_t stab[64];
         for (int o = 0; o < n_out; ++o) stab[o] = stab_b[o];
@@ -341,7 +395,7 @@ struct ArmFixedPoint {
             }
             for (int o = 0; o < dim; ++o) {
                 int64_t v = y[o] < 0 ? 0 : y[o];
-                x[o] = v >> WEIGHT_SHIFT;
+                x[o] = v >> act_shift;
             }
         }
 
@@ -362,6 +416,7 @@ struct ArmBatchF64 {
     int dim = 0;
     int n_out = 2;
     int n_trunk = 0;
+    int act_shift = WEIGHT_SHIFT;  // X.16 reference pipeline; X.8 for tpu model
     std::vector<std::vector<double>> weights;  // [l]: [in * out] row-major
     std::vector<std::vector<double>> biases;   // [l]: [out]
     std::vector<double> stab_w;                // [dim * n_out]
@@ -419,9 +474,10 @@ struct ArmBatchF64 {
                 by[size_t(o)] = acc;
             }
             if (!last) {
+                const double inv_act = std::ldexp(1.0, -act_shift);
                 bx.resize(size_t(out));
                 for (int o = 0; o < out; ++o)
-                    bx[size_t(o)] = std::floor(by[size_t(o)] * 0x1p-16);
+                    bx[size_t(o)] = std::floor(by[size_t(o)] * inv_act);
             }
         }
         return true;
@@ -446,7 +502,7 @@ struct ArmBatchF64 {
         alignas(64) double pong[64 * N];
         alignas(64) double stab[64 * N];  // n_out <= 64
         const __m512d vzero = _mm512_setzero_pd();
-        const __m512d inv16 = _mm512_set1_pd(0x1p-16);
+        const __m512d inv16 = _mm512_set1_pd(std::ldexp(1.0, -act_shift));
         const __m512d vinv_out = _mm512_set1_pd(std::ldexp(1.0, -output_shift));
 
         // mode 0: hidden layer  -> floor(max(y,0) * 2^-16), row stride N
@@ -568,6 +624,7 @@ struct ArmBatchF64 {
         }
 
         const double inv_out = std::ldexp(1.0, -output_shift);
+        const double inv_act = std::ldexp(1.0, -act_shift);
         const double* cur = Xt;  // row stride N
         double* nxt = &ping[0][0];
         for (int l = 0; l < n_trunk; ++l) {
@@ -611,10 +668,10 @@ struct ArmBatchF64 {
                         // relu then >> WEIGHT_SHIFT (values >= 0: floor == trunc).
                         for (int k = 0; k < 32; ++k)
                             nxt[size_t(o) * N + bb + k] =
-                                std::floor(std::max(acc0[k], 0.0) * 0x1p-16);
+                                std::floor(std::max(acc0[k], 0.0) * inv_act);
                         for (int k = 0; k < 32; ++k)
                             nxt[size_t(o + 1) * N + bb + k] =
-                                std::floor(std::max(acc1[k], 0.0) * 0x1p-16);
+                                std::floor(std::max(acc1[k], 0.0) * inv_act);
                     }
                 }
                 for (; o < out_n; ++o) {
@@ -634,7 +691,7 @@ struct ArmBatchF64 {
                     } else {
                         for (int k = 0; k < 32; ++k)
                             nxt[size_t(o) * N + bb + k] =
-                                std::floor(std::max(acc[k], 0.0) * 0x1p-16);
+                                std::floor(std::max(acc[k], 0.0) * inv_act);
                     }
                 }
             }
@@ -821,12 +878,15 @@ static void build_arm(ArmFixedPoint& arm, int dim, int n_out, int n_trunk,
 int32_t rc_arm_forward(const int64_t* x, int64_t n, int32_t n_spatial_plus_ifce,
                        int32_t n_trunk, const int64_t* weights, const int64_t* biases,
                        const int64_t* stab_w, const int64_t* stab_b,
-                       int32_t n_out, int32_t output_shift, int64_t* out) {
+                       int32_t n_out, int32_t output_shift, int32_t act_shift,
+                       int64_t* out) {
     int dim = n_spatial_plus_ifce;
     if (dim > 64 || n_out > 64) return -1;
+    const double act_scale = std::ldexp(1.0, act_shift);
 
     ArmBatchF64 fast;
     fast.init(dim, n_out, n_trunk, weights, biases, stab_w, stab_b);
+    fast.act_shift = act_shift;
     double in_bound[64];
     for (int k = 0; k < dim; ++k) {
         int64_t m = 0;
@@ -835,7 +895,7 @@ int32_t rc_arm_forward(const int64_t* x, int64_t n, int32_t n_spatial_plus_ifce,
             if (v < 0) v = -v;
             if (v > m) m = v;
         }
-        in_bound[k] = double(m) * 65536.0;
+        in_bound[k] = double(m) * act_scale;
     }
 
     if (fast.bounds_ok(in_bound)) {
@@ -851,7 +911,7 @@ int32_t rc_arm_forward(const int64_t* x, int64_t n, int32_t n_spatial_plus_ifce,
             for (int b = 0; b < batch; ++b) {
                 double* xt = X.data() + size_t(b / BT) * dim * BT + (b % BT);
                 const int64_t* row = x + size_t(c0 + b) * dim;
-                for (int k = 0; k < dim; ++k) xt[size_t(k) * BT] = double(row[k]) * 65536.0;
+                for (int k = 0; k < dim; ++k) xt[size_t(k) * BT] = double(row[k]) * act_scale;
             }
             fast.forward_batch(X.data(), BCAP, batch, output_shift, res.data(), nullptr);
             for (int b = 0; b < batch; ++b)
@@ -863,6 +923,7 @@ int32_t rc_arm_forward(const int64_t* x, int64_t n, int32_t n_spatial_plus_ifce,
 
     ArmFixedPoint arm;
     build_arm(arm, dim, n_out, n_trunk, weights, biases, stab_w, stab_b);
+    arm.act_shift = act_shift;
     for (int64_t i = 0; i < n; ++i) {
         arm.forward(x + size_t(i) * dim, out + size_t(i) * n_out, output_shift);
     }
@@ -872,7 +933,11 @@ int32_t rc_arm_forward(const int64_t* x, int64_t n, int32_t n_spatial_plus_ifce,
 // Shared implementation: one latent grid coded over `n_streams` interleaved
 // range-coder streams. Pixel j of wavefront k goes to stream j % n_streams
 // (the `tpu` bitstream profile; n_streams == 1 is the reference format).
+// model 0: reference X.16 ARM + f64 Laplace CDF (bit-compatible with the
+// reference bitstream). model 1: `tpu` profile -- X.8 int32 ARM + integer
+// CDF (tpu_cdf.py spec; params must come from arm8_from_int_layers).
 static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encode,
+                              int32_t model,
                               int32_t h, int32_t w,
                               int32_t n_spatial_ctx, int32_t n_ifce_ctx,
                               const int64_t* ifce_ctx,
@@ -882,6 +947,14 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
                               const int32_t* ctx_flat_idx, int64_t* data) {
     int dim = n_spatial_ctx + n_ifce_ctx;
     if (dim > 64 || n_streams < 1) return -1;
+    if (model == 1 && g_slope.empty()) return -3;  // tables not loaded
+    const int act_shift = model == 1 ? 8 : WEIGHT_SHIFT;
+    const int out_shift = model == 1 ? 8 : OUTPUT_SHIFT;
+    const double act_scale = std::ldexp(1.0, act_shift);
+    // Model 1 feeds X.8 IFCE context columns raw (their payload IS the
+    // activation scale); model 0 shifts everything and compensates in the
+    // weights (reference armint.py semantics).
+    const double ifce_scale = model == 1 ? 1.0 : act_scale;
 
     int w_pad = w + 2 * PAD;
     int h_pad = h + 2 * PAD;
@@ -916,9 +989,10 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
     // f64 SIMD ARM when the static exactness bound holds (always, in practice).
     ArmBatchF64 fast;
     fast.init(dim, 2, n_trunk, weights, biases, stab_w, stab_b);
+    fast.act_shift = act_shift;
     double in_bound[64];
     for (int k = 0; k < n_spatial_ctx; ++k)
-        in_bound[k] = double(-SYM_MIN) * 65536.0;
+        in_bound[k] = double(-SYM_MIN) * act_scale;
     for (int k = 0; k < n_ifce_ctx; ++k) {
         int64_t m = 0;
         for (size_t i = 0; i < size_t(h) * w; ++i) {
@@ -926,7 +1000,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
             if (v < 0) v = -v;
             if (v > m) m = v;
         }
-        in_bound[n_spatial_ctx + k] = double(m) * 65536.0;
+        in_bound[n_spatial_ctx + k] = double(m) * ifce_scale;
     }
     bool use_fast = fast.bounds_ok(in_bound);
     if (g_prof.on) {
@@ -955,13 +1029,39 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
         if (idx_mu < 0) idx_mu = 0;
         if (idx_mu >= n_mu) idx_mu = n_mu - 1;
         int mu_fp = int(idx_mu) + int(MU_MIN_FP);
-        double mu = double(g_mu_table[size_t(idx_mu)]);
-        ScaleExpTable* t = g_scale_cache.get(out_ls - LOG_SCALE_MIN_FP);
 
         int y = pos / w_pad - PAD;
         int x = pos % w_pad - PAD;
         uint32_t left, prob;
         int s;
+        if (model == 1) {  // integer CDF (tpu profile; spec in tpu_cdf.py)
+            int64_t idx_sc = out_ls - LOG_SCALE_MIN_FP;
+            if (idx_sc < 0) idx_sc = 0;
+            if (idx_sc >= int64_t(g_slope.size())) idx_sc = int64_t(g_slope.size()) - 1;
+            uint32_t slope = g_slope[size_t(idx_sc)];
+            if (is_encode) {
+                s = int(data[size_t(y) * w + x]);
+                left = tpu_left_cum(s, mu_fp, slope);
+                prob = (s >= SYM_MAX) ? uint32_t((1u << PRECISION) - left)
+                                      : tpu_left_cum(s + 1, mu_fp, slope) - left;
+                encs[stream]->encode(left, prob);
+            } else {
+                Decoder* dec = decs[stream];
+                uint64_t scale64 = dec->range >> PRECISION;
+                uint32_t quantile = dec->quantile();
+                InvResult r = tpu_invert(quantile, mu_fp, slope);
+                s = r.s;
+                left = r.left;
+                prob = (s >= SYM_MAX) ? uint32_t((1u << PRECISION) - left)
+                                      : r.left_next - left;
+                dec->advance(scale64, left, prob);
+                buf[size_t(pos)] = s;
+                data[size_t(y) * w + x] = s;
+            }
+            return;
+        }
+        double mu = double(g_mu_table[size_t(idx_mu)]);
+        ScaleExpTable* t = g_scale_cache.get(out_ls - LOG_SCALE_MIN_FP);
         if (is_encode) {
             s = int(data[size_t(y) * w + x]);
             left = left_cum_tab(s, mu_fp, t);
@@ -993,6 +1093,8 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
     if (!use_fast) {  // scalar int64 fallback, pixel by pixel
         ArmFixedPoint arm;
         build_arm(arm, dim, 2, n_trunk, weights, biases, stab_w, stab_b);
+        arm.act_shift = act_shift;
+        arm.n_raw_tail = model == 1 ? n_ifce_ctx : 0;
         for (size_t i = 0; i < order.size(); ++i) {
             int32_t pos = order[i];
             int64_t ctx[64];
@@ -1004,7 +1106,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
                 for (int k = 0; k < n_ifce_ctx; ++k) ctx[n_spatial_ctx + k] = row[k];
             }
             int64_t out2[2];
-            arm.forward(ctx, out2, OUTPUT_SHIFT);
+            arm.forward(ctx, out2, out_shift);
             code_symbol(stream_of(i), pos, out2[0], out2[1]);
         }
         return 0;
@@ -1026,13 +1128,13 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
             int pos = ord[b];
             double* xt = xt_base + (b - b0);
             for (int k = 0; k < n_spatial_ctx; ++k)
-                xt[size_t(k) * BT] = double(buf[size_t(pos + offs[k])]) * 65536.0;
+                xt[size_t(k) * BT] = double(buf[size_t(pos + offs[k])]) * act_scale;
             if (n_ifce_ctx > 0) {
                 int y = pos / w_pad - PAD;
                 int x = pos % w_pad - PAD;
                 const int64_t* row = ifce_ctx + (size_t(y) * w + x) * n_ifce_ctx;
                 for (int k = 0; k < n_ifce_ctx; ++k)
-                    xt[size_t(n_spatial_ctx + k) * BT] = double(row[k]) * 65536.0;
+                    xt[size_t(n_spatial_ctx + k) * BT] = double(row[k]) * ifce_scale;
             }
         }
     };
@@ -1040,7 +1142,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
     auto arm_tile = [&](int batch, int t, double* Xp, double* outp) {
         int used = std::min(batch - t * BT, BT);
         int n_lanes = (used + 31) / 32 * 32;
-        fast.forward_tile(Xp + size_t(t) * dim * BT, n_lanes, OUTPUT_SHIFT,
+        fast.forward_tile(Xp + size_t(t) * dim * BT, n_lanes, out_shift,
                           outp + t * BT, BCAP);
     };
 
@@ -1099,7 +1201,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
         for (size_t c0 = 0; c0 < n; c0 += BCAP) {
             int batch = int(std::min(n - c0, size_t(BCAP)));
             gather(order.data() + c0, batch);
-            fast.forward_batch(X.data(), BCAP, batch, OUTPUT_SHIFT, out2.data(),
+            fast.forward_batch(X.data(), BCAP, batch, out_shift, out2.data(),
                                nullptr);
             for (int b = 0; b < batch; ++b) {
                 mu_v[c0 + b] = int64_t(out2[size_t(b)]);
@@ -1169,7 +1271,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
                 g_prof.t_gather += t - tp;
                 tp = t;
             }
-            fast.forward_batch(X.data(), BCAP, batch, OUTPUT_SHIFT, out2.data(),
+            fast.forward_batch(X.data(), BCAP, batch, out_shift, out2.data(),
                                nullptr);
             if (g_prof.on) {
                 double t = now_s();
@@ -1193,13 +1295,15 @@ int32_t rc_code_grid(void* coder, int32_t is_encode, int32_t h, int32_t w,
                      const int64_t* stab_w, const int64_t* stab_b,
                      const int32_t* ctx_flat_idx,  // [n_spatial_ctx] 9x9 indices
                      int64_t* data) {
-    return code_grid_impl(&coder, 1, is_encode, h, w, n_spatial_ctx, n_ifce_ctx,
+    return code_grid_impl(&coder, 1, is_encode, 0, h, w, n_spatial_ctx, n_ifce_ctx,
                           ifce_ctx, n_trunk, weights, biases, stab_w, stab_b,
                           ctx_flat_idx, data);
 }
 
-// `tpu` profile: n_streams interleaved constriction streams per grid.
+// `tpu` profile: n_streams interleaved constriction streams per grid, with
+// the integer probability model + X.8 int32 ARM (model == 1).
 int32_t rc_code_grid_streams(void** coders, int32_t n_streams, int32_t is_encode,
+                             int32_t model,
                              int32_t h, int32_t w,
                              int32_t n_spatial_ctx, int32_t n_ifce_ctx,
                              const int64_t* ifce_ctx,
@@ -1207,9 +1311,18 @@ int32_t rc_code_grid_streams(void** coders, int32_t n_streams, int32_t is_encode
                              const int64_t* biases,
                              const int64_t* stab_w, const int64_t* stab_b,
                              const int32_t* ctx_flat_idx, int64_t* data) {
-    return code_grid_impl(coders, n_streams, is_encode, h, w, n_spatial_ctx,
+    return code_grid_impl(coders, n_streams, is_encode, model, h, w, n_spatial_ctx,
                           n_ifce_ctx, ifce_ctx, n_trunk, weights, biases,
                           stab_w, stab_b, ctx_flat_idx, data);
+}
+
+void rc_set_tpu_tables(const uint32_t* exp2_hi, const uint32_t* exp2_mid,
+                       const uint32_t* exp2_lo, const uint32_t* slope,
+                       int64_t n_slope) {
+    g_exp2_hi.assign(exp2_hi, exp2_hi + 256);
+    g_exp2_mid.assign(exp2_mid, exp2_mid + 256);
+    g_exp2_lo.assign(exp2_lo, exp2_lo + 256);
+    g_slope.assign(slope, slope + n_slope);
 }
 
 void rc_prof_dump() {

@@ -62,7 +62,7 @@ def _load() -> ctypes.CDLL:
                                           ctypes.c_int32] \
         + [ctypes.c_int32] * 4 + [p] + [ctypes.c_int32] + [p] * 5
     lib.rc_code_grid_streams.restype = ctypes.c_int32
-    lib.rc_set_tpu_tables.argtypes = [p, p, p, p, i64]
+
     lib.rc_arm_forward.argtypes = [p, i64, ctypes.c_int32, ctypes.c_int32,
                                    p, p, p, p, ctypes.c_int32, ctypes.c_int32,
                                    ctypes.c_int32, p]
@@ -90,13 +90,6 @@ def get_lib() -> ctypes.CDLL:
             mu.ctypes.data_as(ctypes.c_void_p), mu.size,
             scale.ctypes.data_as(ctypes.c_void_p), scale.size,
         )
-        from coolchic_tpu.bitstream.tpu_cdf import tables
-
-        t = tables()
-        args = [np.ascontiguousarray(t[k], dtype=np.uint32)
-                for k in ("exp2_hi", "exp2_mid", "exp2_lo", "slope")]
-        _lib.rc_set_tpu_tables(*[a.ctypes.data_as(ctypes.c_void_p) for a in args],
-                               args[3].size)
     return _lib
 
 

@@ -6,17 +6,18 @@ no libm, so the `tpu` profile defines the 24-bit quantized CDF with PURE
 int32/uint32 arithmetic that any platform reproduces bit-exactly:
 
   argument      m   = s*256 - 128 - mu_fp          (X.8 integer, |m| <= 33024)
-  log2 slope    c   = SLOPE[scale_idx]             (X.24 of log2(e)/(256*b))
-  t = m * c                                        (X.24 log2 exponent)
-  exp2(-t) ~= (EXP2_HI[f>>16] * EXP2_MID[(f>>8)&255] >> 24) * EXP2_LO[f&255]
-              >> 24 >> q        with q = t >> 24, f = t & 0xFFFFFF
-  cdf24(m)  = exp2val >> 1                  for m >= 0   (0.5 * 2^-t)
-            = 2^24 - (exp2val >> 1)         for m < 0    (1 - 0.5 * 2^-t)
-  left_cum(s) = (FREE_WEIGHT * cdf24(m) >> 24) + (s - SYM_MIN)   (s > SYM_MIN)
+  log2 slope    slope(idx) = max(1, SL0 * exp2i(idx * CSL) >> 24)
+  t = |m| * slope                                  (X.24 log2 exponent)
+  exp2i(t) = poly(t & 0xFFFFFF) >> min(t >> 24, 40)
+  poly(u)  = integer Horner, degree 6:  r = C6; r = Ck + (r * u >> 24)
+             (max |poly - 2^24 * 2^-u/2^24| = 4 units)
+  cdf24(m)  = exp2i(t) >> 1                 for m >= 0   (0.5 * 2^-t)
+            = 2^24 - (exp2i(t) >> 1)        for m < 0    (1 - 0.5 * 2^-t)
+  left_cum(s) = (FREE_WEIGHT * cdf24(m) >> 24) + (s - SYM_MIN) * LEAK_STEP
 
-All tables are NORMATIVE ARTIFACTS generated once here (f64 only at
-generation time) and shared verbatim by the C++ host codec and the Pallas
-kernel; the per-symbol math never touches floats.
+Everything reduces to NINE normative integer constants (below) -- no tables
+at all, so a TPU lane evaluates the CDF without per-lane gathers. The
+per-symbol math never touches floats on any implementation.
 
 The profile also redefines the fixed-point ARM in int32 (X.8 activations and
 weights, X.16 biases, >>8 shifts) -- exact for the quantized parameters
@@ -50,25 +51,23 @@ FREE_WEIGHT = (1 << PRECISION) - 1 - (SYM_MAX - SYM_MIN) * LEAK_STEP
 MAX_ABS_M = 33024
 
 
+# The nine normative constants: degree-6 integer Horner coefficients of
+# 2^24 * 2^(-u/2^24) on u in [0, 2^24) (X.24, ascending powers), the X.24
+# per-scale-index log2 decay CSL = round(2^24 * log2(e)/256), and the X.24
+# slope at scale index 0, SL0 = round(2^24 * log2(e) * e^5 / 256).
+EXP2_POLY = (16777216, -11629077, 4030290, -930970, 160710, -21395, 1835)
+CSL = 94548
+SL0 = 14032236
+
+
 @lru_cache(maxsize=1)
-def tables() -> dict:
-    """Normative integer tables (generated deterministically; ~1-ulp f64
-    platform differences cannot flip the rounded 24-bit entries for these
-    arguments in practice, and the committed test locks their checksums)."""
-    j = np.arange(256, dtype=np.float64)
-    exp2_hi = np.round(2.0**PRECISION * 2.0 ** (-j / 256.0)).astype(np.uint32)
-    exp2_mid = np.round(2.0**PRECISION * 2.0 ** (-j / 65536.0)).astype(np.uint32)
-    exp2_lo = np.round(2.0**PRECISION * 2.0 ** (-j / 16777216.0)).astype(np.uint32)
-
-    # scale b = exp(idx/256 + LOG_SCALE_MIN/256), idx 0..2560 (the reference's
-    # scale grid, bitstream/component/_generate_possible_mu_scale.py).
-    idx = np.arange(N_POSSIBLE_SCALE, dtype=np.float64)
-    b = np.exp((idx + LOG_SCALE_MIN_FIXED_POINT) / 256.0)
-    slope = np.round(2.0**PRECISION * (np.log2(np.e) / (256.0 * b)))
-    slope = np.clip(slope, 1, (1 << 31) - 1).astype(np.uint32)
-
-    return {"exp2_hi": exp2_hi, "exp2_mid": exp2_mid, "exp2_lo": exp2_lo,
-            "slope": slope}
+def slope_table() -> np.ndarray:
+    """slope(idx) for idx 0..N_POSSIBLE_SCALE-1, derived from the integer
+    formula (identical everywhere; cached for vectorized host use)."""
+    idx = np.arange(N_POSSIBLE_SCALE, dtype=np.uint64)
+    v = (np.uint64(SL0) * exp2_neg24(idx * np.uint64(CSL)).astype(np.uint64)
+         ) >> np.uint64(PRECISION)
+    return np.maximum(v, 1).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -77,22 +76,22 @@ def tables() -> dict:
 # the Pallas implementations must match bit for bit).
 # ---------------------------------------------------------------------------
 def exp2_neg24(t: np.ndarray) -> np.ndarray:
-    """exp2(-t / 2^24) in X.24, t uint64 >= 0. Returns uint32."""
-    tab = tables()
-    q = (t >> PRECISION).astype(np.uint64)
-    f = (t & np.uint64((1 << PRECISION) - 1)).astype(np.uint64)
-    hi = tab["exp2_hi"][(f >> 16).astype(np.int64)].astype(np.uint64)
-    mid = tab["exp2_mid"][((f >> 8) & 255).astype(np.int64)].astype(np.uint64)
-    lo = tab["exp2_lo"][(f & 255).astype(np.int64)].astype(np.uint64)
-    v = ((hi * mid) >> PRECISION) * lo >> PRECISION
-    q = np.minimum(q, 40)
-    return (v >> q).astype(np.uint32)
+    """exp2(-t / 2^24) in X.24, t uint64 >= 0. Returns uint32 <= 2^24.
+    Integer Horner (all intermediates |.| < 2^49, arithmetic >> rounds
+    toward -inf exactly as the int32-pair kernel arithmetic does)."""
+    t = np.asarray(t, dtype=np.uint64)
+    q = np.minimum(t >> PRECISION, np.uint64(40))
+    f = (t & np.uint64((1 << PRECISION) - 1)).astype(np.int64)
+    r = np.full(t.shape, EXP2_POLY[6], dtype=np.int64)
+    for k in range(5, -1, -1):
+        r = EXP2_POLY[k] + ((r * f) >> PRECISION)
+    r = np.clip(r, 0, 1 << PRECISION)
+    return (r.astype(np.uint64) >> q).astype(np.uint32)
 
 
 def cdf24(m: np.ndarray, scale_idx: np.ndarray) -> np.ndarray:
     """24-bit CDF of the tpu-profile Laplace at X.8 argument m."""
-    tab = tables()
-    slope = tab["slope"][np.asarray(scale_idx, dtype=np.int64)].astype(np.uint64)
+    slope = slope_table()[np.asarray(scale_idx, dtype=np.int64)].astype(np.uint64)
     am = np.abs(np.asarray(m, dtype=np.int64)).astype(np.uint64)
     t = am * slope  # <= 2^16 * 2^31 = 2^47
     e = exp2_neg24(t).astype(np.uint32)

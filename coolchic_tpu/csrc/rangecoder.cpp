@@ -235,18 +235,40 @@ constexpr int TPU_LEAK_STEP = 16;
 constexpr uint32_t TPU_FREE_WEIGHT =
     (1u << PRECISION) - 1 - uint32_t(SYM_MAX - SYM_MIN) * TPU_LEAK_STEP;
 
-std::vector<uint32_t> g_exp2_hi, g_exp2_mid, g_exp2_lo, g_slope;
+// Nine normative constants (coolchic_tpu/bitstream/tpu_cdf.py): degree-6
+// integer Horner for 2^24 * 2^(-u/2^24), plus the scale-index decay CSL and
+// base slope SL0. Pure integer math == bit-identical on host and TPU lanes.
+constexpr int64_t TPU_EXP2_POLY[7] = {16777216, -11629077, 4030290, -930970,
+                                      160710, -21395, 1835};
+constexpr uint64_t TPU_CSL = 94548;
+constexpr uint64_t TPU_SL0 = 14032236;
 
 inline uint32_t tpu_exp2_neg24(uint64_t t) {
     uint64_t q = t >> PRECISION;
-    uint32_t f = uint32_t(t & ((1u << PRECISION) - 1));
-    uint64_t hi = g_exp2_hi[f >> 16];
-    uint64_t mid = g_exp2_mid[(f >> 8) & 255];
-    uint64_t lo = g_exp2_lo[f & 255];
-    uint64_t v = (((hi * mid) >> PRECISION) * lo) >> PRECISION;
     if (q > 40) q = 40;
-    return uint32_t(v >> q);
+    int64_t f = int64_t(t & ((1u << PRECISION) - 1));
+    int64_t r = TPU_EXP2_POLY[6];
+    for (int k = 5; k >= 0; --k) r = TPU_EXP2_POLY[k] + ((r * f) >> PRECISION);
+    if (r < 0) r = 0;
+    if (r > (1 << PRECISION)) r = 1 << PRECISION;
+    return uint32_t(uint64_t(r) >> q);
 }
+
+// slope(idx), computed once from the integer formula.
+struct TpuSlopeTable {
+    std::vector<uint32_t> v;
+    void ensure() {
+        size_t n = g_scale_table.size() ? g_scale_table.size() : 2561;
+        if (v.size() == n) return;
+        v.resize(n);
+        for (size_t i = 0; i < n; ++i) {
+            uint64_t s = (TPU_SL0 * uint64_t(tpu_exp2_neg24(uint64_t(i) * TPU_CSL)))
+                         >> PRECISION;
+            v[i] = s < 1 ? 1u : uint32_t(s);
+        }
+    }
+};
+TpuSlopeTable g_tpu_slope;
 
 inline uint32_t tpu_cdf24(int32_t m, uint32_t slope) {
     uint64_t am = uint64_t(m < 0 ? -int64_t(m) : int64_t(m));
@@ -947,7 +969,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
                               const int32_t* ctx_flat_idx, int64_t* data) {
     int dim = n_spatial_ctx + n_ifce_ctx;
     if (dim > 64 || n_streams < 1) return -1;
-    if (model == 1 && g_slope.empty()) return -3;  // tables not loaded
+    if (model == 1) g_tpu_slope.ensure();
     const int act_shift = model == 1 ? 8 : WEIGHT_SHIFT;
     const int out_shift = model == 1 ? 8 : OUTPUT_SHIFT;
     const double act_scale = std::ldexp(1.0, act_shift);
@@ -1037,8 +1059,9 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
         if (model == 1) {  // integer CDF (tpu profile; spec in tpu_cdf.py)
             int64_t idx_sc = out_ls - LOG_SCALE_MIN_FP;
             if (idx_sc < 0) idx_sc = 0;
-            if (idx_sc >= int64_t(g_slope.size())) idx_sc = int64_t(g_slope.size()) - 1;
-            uint32_t slope = g_slope[size_t(idx_sc)];
+            if (idx_sc >= int64_t(g_tpu_slope.v.size()))
+                idx_sc = int64_t(g_tpu_slope.v.size()) - 1;
+            uint32_t slope = g_tpu_slope.v[size_t(idx_sc)];
             if (is_encode) {
                 s = int(data[size_t(y) * w + x]);
                 left = tpu_left_cum(s, mu_fp, slope);
@@ -1083,11 +1106,13 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
         }
     };
 
-    // Index within the wavefront -> stream id, for any linear pixel index.
-    size_t wf_cursor = 0;
-    auto stream_of = [&](size_t i) {
-        while (size_t(wf_start[wf_cursor + 1]) <= i) ++wf_cursor;
-        return int((i - size_t(wf_start[wf_cursor])) % size_t(n_streams));
+    // Stream id of a pixel: its ROW modulo n_streams. Wavefront pixels have
+    // distinct consecutive rows, so (for wavefront span <= n_streams) one
+    // wavefront touches each stream at most once AND the lane<->stream
+    // mapping in the Pallas kernel is a static roll (docs/tpu_profile.md).
+    auto stream_of_pos = [&](int pos) {
+        int y = pos / w_pad - PAD;
+        return y % n_streams;
     };
 
     if (!use_fast) {  // scalar int64 fallback, pixel by pixel
@@ -1107,7 +1132,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
             }
             int64_t out2[2];
             arm.forward(ctx, out2, out_shift);
-            code_symbol(stream_of(i), pos, out2[0], out2[1]);
+            code_symbol(stream_of_pos(pos), pos, out2[0], out2[1]);
         }
         return 0;
     }
@@ -1189,10 +1214,8 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
             // order is the monotone global scan order.
             int tid = omp_get_thread_num();
             int T = omp_get_num_threads();
-            size_t cur = 0;
             for (size_t i = 0; i < n; ++i) {
-                while (size_t(wf_start[cur + 1]) <= i) ++cur;
-                int s = int((i - size_t(wf_start[cur])) % size_t(n_streams));
+                int s = stream_of_pos(order[i]);
                 if (s % T == tid)
                     code_symbol(s, order[i], mu_v[i], ls_v[i]);
             }
@@ -1209,7 +1232,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
             }
         }
         for (size_t i = 0; i < n; ++i)
-            code_symbol(stream_of(i), order[i], mu_v[i], ls_v[i]);
+            code_symbol(stream_of_pos(order[i]), order[i], mu_v[i], ls_v[i]);
 #endif
         return 0;
     }
@@ -1237,10 +1260,9 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
                         arm_tile(batch, t, X.data(), out2.data());
                     }
                     #pragma omp barrier
-                    int base = c0 - start;
                     if (n_streams > 1) {
                         for (int b = 0; b < batch; ++b) {
-                            int s = (base + b) % n_streams;
+                            int s = stream_of_pos(order[size_t(c0) + b]);
                             if (s % T != tid) continue;
                             code_symbol(s, order[size_t(c0) + b],
                                         int64_t(out2[size_t(b)]),
@@ -1278,9 +1300,9 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
                 g_prof.t_arm += t - tp;
                 tp = t;
             }
-            int base = c0 - start;  // index of this chunk within the wavefront
             for (int b = 0; b < batch; ++b)
-                code_symbol((base + b) % n_streams, order[size_t(c0) + b],
+                code_symbol(stream_of_pos(order[size_t(c0) + b]),
+                            order[size_t(c0) + b],
                             int64_t(out2[size_t(b)]),
                             int64_t(out2[size_t(BCAP) + b]));
             if (g_prof.on) g_prof.t_serial += now_s() - tp;
@@ -1316,14 +1338,7 @@ int32_t rc_code_grid_streams(void** coders, int32_t n_streams, int32_t is_encode
                           stab_w, stab_b, ctx_flat_idx, data);
 }
 
-void rc_set_tpu_tables(const uint32_t* exp2_hi, const uint32_t* exp2_mid,
-                       const uint32_t* exp2_lo, const uint32_t* slope,
-                       int64_t n_slope) {
-    g_exp2_hi.assign(exp2_hi, exp2_hi + 256);
-    g_exp2_mid.assign(exp2_mid, exp2_mid + 256);
-    g_exp2_lo.assign(exp2_lo, exp2_lo + 256);
-    g_slope.assign(slope, slope + n_slope);
-}
+
 
 void rc_prof_dump() {
     std::fprintf(stderr,

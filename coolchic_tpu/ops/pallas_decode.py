@@ -1,0 +1,419 @@
+"""Pallas TPU kernel: lane-parallel wavefront decode of one latent grid
+(`tpu` bitstream profile, docs/tpu_profile.md).
+
+The whole decode -- fixed-point ARM context prediction, integer Laplace CDF,
+128 range-coder streams -- runs inside ONE kernel, one wavefront per loop
+iteration:
+
+  * SHEARED layout: pixel (y, x) lives at row d = x + 10*y, lane y mod 128.
+    A wavefront IS a row, and every 9x9 causal tap becomes a STATIC
+    (row-offset, lane-roll) pair -- the only data movement TPU lanes can do.
+  * streams are keyed by row (stream = y mod 128 = lane), so the 128
+    range-decoder states never cross lanes.
+  * all 64-bit coder state is emulated as uint32 (hi, lo) pairs: 16-bit-limb
+    multiplies, borrow-propagating subtracts, and a 25-step restoring long
+    division for the quantile (no 64-bit types exist in Mosaic).
+  * the probability model is the nine-integer-constant polynomial CDF of
+    bitstream/tpu_cdf.py -- identical integer ops to the C++ encoder, so
+    decode is exact by construction.
+  * the per-lane word refill (each stream consumes its own words) is the one
+    true gather; it runs as a one-hot masked sum over the word rows.
+
+v1 scope: grids with n_streams == 128 and w > 9 (the big grids, where the
+decode time lives); smaller grids take the host C++ path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coolchic_tpu.bitstream.tpu_cdf import (
+    CSL,
+    EXP2_POLY,
+    LEAK_STEP,
+    PRECISION,
+    SL0,
+    SYM_MAX,
+    SYM_MIN,
+    FREE_WEIGHT,
+)
+from coolchic_tpu.core.constants import (
+    LOG_SCALE_MIN_FIXED_POINT,
+    MU_MIN_FIXED_POINT,
+    N_POSSIBLE_MU,
+    N_POSSIBLE_SCALE,
+)
+
+MASK = 9
+STEP = MASK + 1  # wavefront row step
+LANES = 128
+PAD_D = 45  # max |row offset| of a causal tap is |dx + 10*dy| <= 44
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# uint32-pair (hi, lo) arithmetic -- all values are exact integers < 2^64.
+# ---------------------------------------------------------------------------
+def _pair_sub(ah, al, bh, bl):
+    borrow = (al < bl).astype(_U32)
+    return ah - bh - borrow, al - bl
+
+
+def _pair_add(ah, al, bh, bl):
+    lo = al + bl
+    carry = (lo < al).astype(_U32)
+    return ah + bh + carry, lo
+
+
+def _mul_u32(a, b):
+    """u32 x u32 -> (hi, lo) u32 pair via 16-bit limbs."""
+    a_hi, a_lo = a >> 16, a & _U32(0xFFFF)
+    b_hi, b_lo = b >> 16, b & _U32(0xFFFF)
+    p0 = a_lo * b_lo
+    p1 = a_lo * b_hi
+    p2 = a_hi * b_lo
+    p3 = a_hi * b_hi
+    mid = p1 + p2
+    mid_c = (mid < p1).astype(_U32)
+    lo = p0 + (mid << 16)
+    c1 = (lo < p0).astype(_U32)
+    hi = p3 + (mid >> 16) + (mid_c << 16) + c1
+    return hi, lo
+
+
+def _pair_ge(ah, al, bh, bl):
+    return (ah > bh) | ((ah == bh) & (al >= bl))
+
+
+def _pair_shl(ah, al, k: int):
+    """Static left shift by k in [0, 63]."""
+    if k == 0:
+        return ah, al
+    if k >= 32:
+        return al << (k - 32) if k > 32 else al, jnp.zeros_like(al)
+    return (ah << k) | (al >> (32 - k)), al << k
+
+
+def _pair_shr_dyn(ah, al, k):
+    """Dynamic right shift by per-lane k in [0, 63]; result must fit u32."""
+    k = k.astype(_U32)
+    big = k >= 32
+    ks = jnp.where(big, k - 32, k)
+    # (lo >> k) | (hi << (32-k)) -- guard the k == 0 case (shift by 32 UB).
+    lo_part = (al >> ks) | jnp.where(ks > 0, ah << (_U32(32) - ks), _U32(0))
+    hi_part = ah >> ks
+    return jnp.where(big, hi_part, lo_part)
+
+
+def _ashr24_49(neg, mag_hi, mag_lo):
+    """Arithmetic >> 24 of a signed 49-bit value given (sign, |v|) with
+    |v| < 2^49: floor semantics (negative with a remainder rounds down)."""
+    q = (mag_lo >> 24) | (mag_hi << 8)  # |v| >> 24 < 2^25
+    rem_nz = (mag_lo & _U32(0xFFFFFF)) != 0
+    qi = q.astype(_I32)
+    return jnp.where(neg, -(qi + rem_nz.astype(_I32)), qi)
+
+
+# ---------------------------------------------------------------------------
+# Integer CDF (tpu_cdf.py spec, per-lane).
+# ---------------------------------------------------------------------------
+def _exp2_neg24(t_hi, t_lo):
+    """exp2(-t/2^24) in X.24 for a u64 pair t; returns u32 <= 2^24."""
+    q = (t_lo >> 24) | (t_hi << 8)
+    q = jnp.where(q > _U32(40), _U32(40), q)  # (no unsigned min in Mosaic)
+    f = t_lo & _U32(0xFFFFFF)
+    r = jnp.full_like(t_lo, EXP2_POLY[6], dtype=_I32)
+    for k in range(5, -1, -1):
+        neg = r < 0
+        mag = jnp.where(neg, -r, r).astype(_U32)
+        m_hi, m_lo = _mul_u32(mag, f)
+        r = _I32(EXP2_POLY[k]) + _ashr24_49(neg, m_hi, m_lo)
+    r = jnp.clip(r, 0, 1 << PRECISION).astype(_U32)
+    return _pair_shr_dyn(jnp.zeros_like(r), r, q)
+
+
+def _slope_of(idx_sc):
+    """slope(idx) = max(1, SL0 * exp2i(idx * CSL) >> 24), per lane."""
+    t_hi, t_lo = _mul_u32(idx_sc.astype(_U32), _U32(CSL))
+    e = _exp2_neg24(t_hi, t_lo)
+    s_hi, s_lo = _mul_u32(_U32(SL0), e)
+    s = (s_lo >> 24) | (s_hi << 8)
+    return jnp.where(s < _U32(1), _U32(1), s)
+
+
+def _left_cum(s, mu_fp, slope):
+    """left_cum(s) per lane; s int32 in [SYM_MIN, SYM_MAX]."""
+    m = s * 256 - 128 - mu_fp  # int32, |m| <= 33024
+    neg = m < 0
+    am = jnp.where(neg, -m, m).astype(_U32)
+    t_hi, t_lo = _mul_u32(am, slope)
+    e = _exp2_neg24(t_hi, t_lo)
+    half = e >> 1
+    cdf = jnp.where(neg, half, _U32(1 << PRECISION) - half)
+    v_hi, v_lo = _mul_u32(_U32(FREE_WEIGHT), cdf)
+    base = (v_lo >> 24) | (v_hi << 8)
+    val = base + ((s - SYM_MIN) * LEAK_STEP).astype(_U32)
+    return jnp.where(s <= SYM_MIN, _U32(0), val)
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
+                 n_trunk: int, R: int, D: int):
+    """dims: per-trunk-layer (in, out); taps: ((dy, dx), ...) spatial taps."""
+    from jax.experimental import pallas as pl
+
+    n_spatial = len(taps)
+    dim = n_spatial + n_ifce
+
+    def kernel(words_ref, wtr_ref, btr_ref, stw_ref, stb_ref, ifce_ref, s_ref):
+        lane = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
+
+        # Zero the PAD_D head rows once (context reads into "before the
+        # grid" must see zeros).
+        s_ref[0:PAD_D, :] = jnp.zeros((PAD_D, LANES), _I32)
+
+        # coder state per lane: point/lower/range as u32 pairs + word cursor
+        def body(d, carry):
+            (lo_hi, lo_lo, rg_hi, rg_lo, pt_hi, pt_lo, cur) = carry
+
+            y_lo = jnp.maximum(0, (d - w + STEP) // STEP)
+            y_hi = jnp.minimum(h - 1, d // STEP)
+            # per-lane y: the unique y in [y_lo, y_lo + 128) with y % 128 == lane
+            y = y_lo + ((lane - y_lo) % LANES)
+            active = y <= y_hi
+            x = d - STEP * y
+
+            # ---- spatial context taps (static row offset + static roll)
+            ctx = []
+            for (dy, dx) in taps:
+                dprime = d + dx + STEP * dy
+                row = s_ref[pl.ds(dprime + PAD_D, 1), :]
+                if dy != 0:
+                    from jax.experimental.pallas import tpu as pltpu
+
+                    row = pltpu.roll(row, -dy, 1)
+                yk = y + dy
+                xk = x + dx
+                valid = active & (yk >= 0) & (xk >= 0) & (xk < w)
+                ctx.append(jnp.where(valid, row, 0) << 8)  # X.8
+            if n_ifce > 0:
+                ifce_rows = ifce_ref[pl.ds(d, 1), :, :]  # [1, n_ifce, LANES]
+                for k in range(n_ifce):
+                    ctx.append(jnp.where(active, ifce_rows[:, k, :], 0))
+
+            # ---- int32 X.8 ARM (certified overflow-free by the encoder)
+            stab0 = stb_ref[0]
+            stab1 = stb_ref[1]
+            st0 = jnp.full((1, LANES), stab0, _I32)
+            st1 = jnp.full((1, LANES), stab1, _I32)
+            for i in range(dim):
+                st0 = st0 + stw_ref[i * 2 + 0] * ctx[i]
+                st1 = st1 + stw_ref[i * 2 + 1] * ctx[i]
+
+            acts = ctx
+            w_off = 0
+            b_off = 0
+            for li, (n_in, n_out) in enumerate(dims):
+                last = li == n_trunk - 1
+                outs = []
+                for o in range(n_out):
+                    acc = jnp.full((1, LANES), btr_ref[b_off + o], _I32)
+                    for i in range(n_in):
+                        acc = acc + wtr_ref[w_off + i * n_out + o] * acts[i]
+                    if last:
+                        acc = acc + (st0 if o == 0 else st1)
+                        acc = acc >> 8  # arithmetic: X.16 -> X.8
+                    else:
+                        acc = jnp.maximum(acc, 0) >> 8
+                    outs.append(acc)
+                acts = outs
+                w_off += n_in * n_out
+                b_off += n_out
+            mu_raw, ls_raw = acts[0], acts[1]
+
+            idx_mu = jnp.clip(mu_raw - MU_MIN_FIXED_POINT, 0, N_POSSIBLE_MU - 1)
+            mu_fp = idx_mu + MU_MIN_FIXED_POINT
+            idx_sc = jnp.clip(ls_raw - LOG_SCALE_MIN_FIXED_POINT, 0,
+                              N_POSSIBLE_SCALE - 1)
+            slope = _slope_of(idx_sc)
+
+            # ---- quantile = (point - lower) / (range >> 24), 25-bit division
+            sc_hi = rg_hi >> 24
+            sc_lo = (rg_lo >> 24) | (rg_hi << 8)
+            t_hi, t_lo = _pair_sub(pt_hi, pt_lo, lo_hi, lo_lo)
+            quant = jnp.zeros((1, LANES), _U32)
+            for bit in range(24, -1, -1):
+                tr_hi, tr_lo = _pair_shl(sc_hi, sc_lo, bit)
+                ge = _pair_ge(t_hi, t_lo, tr_hi, tr_lo)
+                nh, nl = _pair_sub(t_hi, t_lo, tr_hi, tr_lo)
+                t_hi = jnp.where(ge, nh, t_hi)
+                t_lo = jnp.where(ge, nl, t_lo)
+                quant = quant | (ge.astype(_U32) << bit)
+            qmax = _U32((1 << PRECISION) - 1)
+            quant = jnp.where(quant > qmax, qmax, quant)
+
+            # ---- 7-step binary search for the symbol
+            s_sym = jnp.full((1, LANES), SYM_MIN, _I32)
+            for step in (64, 32, 16, 8, 4, 2, 1):
+                cand = s_sym + step
+                ok = (cand <= SYM_MAX) & (_left_cum(cand, mu_fp, slope) <= quant)
+                s_sym = jnp.where(ok, cand, s_sym)
+            left = _left_cum(s_sym, mu_fp, slope)
+            nxt = _left_cum(jnp.minimum(s_sym + 1, SYM_MAX), mu_fp, slope)
+            prob = jnp.where(s_sym >= SYM_MAX, _U32(1 << PRECISION) - left,
+                             nxt - left)
+
+            # ---- advance (only active lanes). scale < 2^40 (sc_hi < 2^8) and
+            # left/prob < 2^24, so sc_hi * left fits u32 and lands at weight
+            # 2^32 (i.e., adds straight into the hi word).
+            al_hi, al_lo = _mul_u32(sc_lo, left)
+            al_hi = al_hi + sc_hi * left
+            nlo_hi, nlo_lo = _pair_add(lo_hi, lo_lo, al_hi, al_lo)
+            rp_hi, rp_lo = _mul_u32(sc_lo, prob)
+            rp_hi = rp_hi + sc_hi * prob
+
+            renorm = rp_hi == 0
+            # refill word per lane: words[cursor, lane] via one-hot masked sum
+            # (the one true per-lane gather; bounded loop, not unrolled)
+            def _refill(r, acc):
+                return acc + jnp.where(cur == r, words_ref[pl.ds(r, 1), :],
+                                       _U32(0))
+
+            nw = jax.lax.fori_loop(0, R, _refill, jnp.zeros((1, LANES), _U32))
+
+            upd = active
+            ren = upd & renorm
+            lo_hi = jnp.where(upd, jnp.where(renorm, nlo_lo, nlo_hi), lo_hi)
+            lo_lo = jnp.where(upd, jnp.where(renorm, _U32(0), nlo_lo), lo_lo)
+            rg_hi = jnp.where(upd, jnp.where(renorm, rp_lo, rp_hi), rg_hi)
+            rg_lo = jnp.where(upd, jnp.where(renorm, _U32(0), rp_lo), rg_lo)
+            pt_hi = jnp.where(ren, pt_lo, pt_hi)
+            pt_lo = jnp.where(ren, nw, pt_lo)
+            cur = jnp.where(ren, cur + 1, cur)
+
+            # ---- store decoded symbols (inactive lanes stay zero)
+            s_ref[pl.ds(d + PAD_D, 1), :] = jnp.where(active, s_sym, 0)
+
+            return (lo_hi, lo_lo, rg_hi, rg_lo, pt_hi, pt_lo, cur)
+
+        zero = jnp.zeros((1, LANES), _U32)
+        ones = jnp.full((1, LANES), 0xFFFFFFFF, _U32)
+        pt_hi0 = words_ref[0:1, :]
+        pt_lo0 = words_ref[1:2, :]
+        cur0 = jnp.full((1, LANES), 2, _I32)
+        jax.lax.fori_loop(0, D, body,
+                          (zero, zero, ones, ones, pt_hi0, pt_lo0, cur0))
+
+    return kernel
+
+
+def _tap_list(ctx_idx: np.ndarray) -> tuple:
+    """9x9 flat indices -> ((dy, dx), ...) with dy in [-4, 0]."""
+    taps = []
+    for idx in np.asarray(ctx_idx).tolist():
+        dy = idx // MASK - (MASK - 1) // 2
+        dx = idx % MASK - (MASK - 1) // 2
+        taps.append((int(dy), int(dx)))
+    return tuple(taps)
+
+
+@lru_cache(maxsize=64)
+def _build(h: int, w: int, taps: tuple, n_ifce: int, dims: tuple, R: int,
+           interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = (w - 1) + (h - 1) * STEP + 1
+    n_trunk = len(dims)
+    kernel = _make_kernel(h, w, dims, taps, n_ifce, n_trunk, R, D)
+
+    n_w = sum(i * o for i, o in dims)
+    n_b = sum(o for _, o in dims)
+    dim = len(taps) + n_ifce
+
+    ifce_shape = (D, max(n_ifce, 1), LANES)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((D + PAD_D, LANES), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # words [R, 128]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # trunk weights [n_w]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # trunk biases [n_b]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # stab weights [dim*2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # stab biases [2]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ifce sheared
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    def run(words, wtr, btr, stw, stb, ifce):
+        assert words.shape == (R, LANES)
+        assert wtr.shape == (n_w,) and btr.shape == (n_b,)
+        assert stw.shape == (dim * 2,) and stb.shape == (2,)
+        assert ifce.shape == ifce_shape
+        return out(words, wtr, btr, stw, stb, ifce)
+
+    return run, D
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def decode_grid_pallas(payload_words: list[np.ndarray], h: int, w: int,
+                       arm8: dict, ctx_idx: np.ndarray,
+                       ifce_ctx: np.ndarray | None,
+                       interpret: bool = False) -> np.ndarray:
+    """Decode one [h, w] grid from 128 per-stream u32 word arrays.
+
+    arm8: X.8 int32 params (tpu_cdf.arm8_from_int_layers layout).
+    ifce_ctx: [h*w, n_ifce] X.8 int64 or None.
+    """
+    assert len(payload_words) == LANES and w > MASK
+    n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
+
+    # words [R, 128]: stream s's r-th word at [r, s]; zero-padded (the
+    # constriction decoder zero-pads past the stream end).
+    max_words = max(2, max(len(ws) for ws in payload_words))
+    R = _round_up(max_words, 64)
+    words = np.zeros((R, LANES), dtype=np.uint32)
+    for s, ws in enumerate(payload_words):
+        words[: len(ws), s] = ws
+
+    dims = tuple((int(wm.shape[0]), int(wm.shape[1]))
+                 for wm in arm8["trunk_weights"])
+    wtr = np.concatenate([np.asarray(wm, np.int32).reshape(-1)
+                          for wm in arm8["trunk_weights"]])
+    btr = np.concatenate([np.asarray(bm, np.int32).reshape(-1)
+                          for bm in arm8["trunk_biases"]])
+    stw = np.asarray(arm8["stab_weight"], np.int32).reshape(-1)
+    stb = np.asarray(arm8["stab_bias"], np.int32).reshape(-1)
+
+    taps = _tap_list(ctx_idx)
+    run, D = _build(h, w, taps, n_ifce, dims, R, interpret)
+
+    # shear the IFCE context to (row d, lane y mod 128)
+    ifce_shear = np.zeros((D, max(n_ifce, 1), LANES), dtype=np.int32)
+    if n_ifce > 0:
+        ys, xs = np.divmod(np.arange(h * w), w)
+        d = xs + STEP * ys
+        ifce_shear[d, :, ys % LANES] = np.asarray(ifce_ctx, np.int64).astype(np.int32)
+
+    s_sheared = np.asarray(run(jnp.asarray(words), jnp.asarray(wtr),
+                               jnp.asarray(btr), jnp.asarray(stw),
+                               jnp.asarray(stb), jnp.asarray(ifce_shear)))
+
+    # unshear
+    ys, xs = np.divmod(np.arange(h * w), w)
+    d = xs + STEP * ys
+    grid = s_sheared[d + PAD_D, ys % LANES].reshape(h, w)
+    return grid.astype(np.int64)

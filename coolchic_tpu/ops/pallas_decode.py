@@ -52,6 +52,7 @@ MASK = 9
 STEP = MASK + 1  # wavefront row step
 LANES = 128
 PAD_D = 45  # max |row offset| of a causal tap is |dx + 10*dy| <= 44
+PAD_TAIL = 5  # the 49-row tap block reads up to d + 4
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -191,15 +192,20 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
             active = y <= y_hi
             x = d - STEP * y
 
-            # ---- spatial context taps (static row offset + static roll)
+            # ---- spatial context taps. ONE dynamic block read covers every
+            # tap's row (offsets dx + 10*dy are in [-44, 4]); each tap is
+            # then a STATIC row of the (per-dy rolled) block.
+            from jax.experimental.pallas import tpu as pltpu
+
+            block = s_ref[pl.ds(d + PAD_D - 44, 49), :]
+            rolled = {0: block}
+            for dy in sorted({t[0] for t in taps}):
+                if dy != 0:
+                    rolled[dy] = pltpu.roll(block, -dy, 1)
             ctx = []
             for (dy, dx) in taps:
-                dprime = d + dx + STEP * dy
-                row = s_ref[pl.ds(dprime + PAD_D, 1), :]
-                if dy != 0:
-                    from jax.experimental.pallas import tpu as pltpu
-
-                    row = pltpu.roll(row, -dy, 1)
+                off = 44 + dx + STEP * dy
+                row = rolled[dy][off:off + 1, :]
                 yk = y + dy
                 xk = x + dx
                 valid = active & (yk >= 0) & (xk >= 0) & (xk < w)
@@ -281,13 +287,23 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
             rp_hi = rp_hi + sc_hi * prob
 
             renorm = rp_hi == 0
-            # refill word per lane: words[cursor, lane] via one-hot masked sum
-            # (the one true per-lane gather; bounded loop, not unrolled)
-            def _refill(r, acc):
-                return acc + jnp.where(cur == r, words_ref[pl.ds(r, 1), :],
-                                       _U32(0))
+            # refill word per lane: words[cursor, lane] via a one-hot masked
+            # sum -- the one true per-lane gather. Blocked over 32 rows per
+            # iteration so the loop runs R/32 times on [32, 128] tiles.
+            NBLK = 32
+            def _refill(i, acc):
+                r0 = i * NBLK
+                blk = words_ref[pl.ds(r0, NBLK), :]
+                ridx = jax.lax.broadcasted_iota(_I32, (NBLK, LANES), 0) + r0
+                sel = ridx == cur
+                # Mosaic has no unsigned reductions; i32 wrapping adds are
+                # bit-identical (at most one selected row is non-zero).
+                blk_i = jax.lax.bitcast_convert_type(blk, jnp.int32)
+                part = jnp.sum(jnp.where(sel, blk_i, 0), axis=0, keepdims=True)
+                return acc + jax.lax.bitcast_convert_type(part, _U32)
 
-            nw = jax.lax.fori_loop(0, R, _refill, jnp.zeros((1, LANES), _U32))
+            nw = jax.lax.fori_loop(0, R // NBLK, _refill,
+                                   jnp.zeros((1, LANES), _U32))
 
             upd = active
             ren = upd & renorm
@@ -342,7 +358,7 @@ def _build(h: int, w: int, taps: tuple, n_ifce: int, dims: tuple, R: int,
     ifce_shape = (D, max(n_ifce, 1), LANES)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((D + PAD_D, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((D + PAD_D + PAD_TAIL, LANES), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # words [R, 128]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # trunk weights [n_w]
@@ -384,7 +400,10 @@ def decode_grid_pallas(payload_words: list[np.ndarray], h: int, w: int,
     # words [R, 128]: stream s's r-th word at [r, s]; zero-padded (the
     # constriction decoder zero-pads past the stream end).
     max_words = max(2, max(len(ws) for ws in payload_words))
-    R = _round_up(max_words, 64)
+    # power-of-two bucket (>= 64): bounds the number of compiled variants
+    R = 64
+    while R < max_words:
+        R *= 2
     words = np.zeros((R, LANES), dtype=np.uint32)
     for s, ws in enumerate(payload_words):
         words[: len(ws), s] = ws

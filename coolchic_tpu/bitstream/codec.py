@@ -11,6 +11,7 @@ Reference parity: coolchic/bitstream/component/coolchic.py:29-207.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -223,13 +224,25 @@ def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
             counts = np.frombuffer(bytes_latent, dtype="<u4", offset=cursor,
                                    count=n_streams)
             cursor += 4 * n_streams
-            decoders = []
+            stream_bytes = []
             for c in counts:
-                decoders.append(rc.RangeDecoder(bytes_latent[cursor:cursor + 4 * int(c)]))
+                stream_bytes.append(bytes_latent[cursor:cursor + 4 * int(c)])
                 cursor += 4 * int(c)
-            grid = rc.code_grid_streams(decoders, False, h_i, w_i,
-                                        cfg.spatial_context_arm, ifce_ctx, arm_fp,
-                                        ctx_idx, model=model)
+            # Pallas path (COOLCHIC_PALLAS_DECODE=1): the whole grid decodes
+            # inside one TPU kernel when it is lane-shaped for it.
+            use_pallas = (os.environ.get("COOLCHIC_PALLAS_DECODE") == "1"
+                          and n_streams == 128 and w_i > 9 and w_i <= 1270)
+            if use_pallas:
+                from coolchic_tpu.ops.pallas_decode import decode_grid_pallas
+
+                words = [np.frombuffer(b, dtype=np.uint32) for b in stream_bytes]
+                grid = decode_grid_pallas(words, h_i, w_i, arm_fp, ctx_idx,
+                                          ifce_ctx)
+            else:
+                decoders = [rc.RangeDecoder(b) for b in stream_bytes]
+                grid = rc.code_grid_streams(decoders, False, h_i, w_i,
+                                            cfg.spatial_context_arm, ifce_ctx,
+                                            arm_fp, ctx_idx, model=model)
         decoded.insert(0, grid)
 
     raw_out = synthesize(nn_params, cfg, decoded)

@@ -395,6 +395,8 @@ def decode_grid_pallas(payload_words: list[np.ndarray], h: int, w: int,
     ifce_ctx: [h*w, n_ifce] X.8 int64 or None.
     """
     assert len(payload_words) == LANES and w > MASK
+    if not interpret:
+        interpret = jax.default_backend() != "tpu"  # CPU runs use interpret mode
     n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
 
     # words [R, 128]: stream s's r-th word at [r, s]; zero-padded (the

@@ -204,49 +204,107 @@ def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes
     nn_params = decode_network(bytes_nn, cfg, header.nn_q_step_shift,
                                header.nn_expgol_cnt, header.nn_n_bit_pad)
 
-    model = 1 if profile == "tpu" else 0
-    arm_fp = _main_arm_params(nn_params, header, cfg, model)
+    if profile == "tpu":
+        return decode_coolchic_batched([(header, bytes_nn, bytes_latent)])[0]
+
+    arm_fp = _main_arm_params(nn_params, header, cfg, 0)
     ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
 
-    decoder = rc.RangeDecoder(bytes_latent) if profile == "ref" else None
-    cursor = 0  # tpu profile: byte cursor into bytes_latent
+    decoder = rc.RangeDecoder(bytes_latent)
     decoded: list[np.ndarray] = []  # largest first
     for idx_latent in range(cfg.n_latent_grids - 1, -1, -1):
         h_i, w_i = cfg.size_per_latent[idx_latent]
         ifce_ctx = _ifce_context_for_grid(nn_params, cfg, header, idx_latent, decoded,
-                                          h_i, w_i, model=model)
-        if profile == "ref":
-            grid = rc.code_grid(decoder, False, h_i, w_i, cfg.spatial_context_arm,
-                                ifce_ctx, arm_fp, ctx_idx)
-        else:
-            n_streams = bytes_latent[cursor]
-            cursor += 1
-            counts = np.frombuffer(bytes_latent, dtype="<u4", offset=cursor,
-                                   count=n_streams)
-            cursor += 4 * n_streams
-            stream_bytes = []
-            for c in counts:
-                stream_bytes.append(bytes_latent[cursor:cursor + 4 * int(c)])
-                cursor += 4 * int(c)
-            # Pallas path (COOLCHIC_PALLAS_DECODE=1): the whole grid decodes
-            # inside one TPU kernel when it is lane-shaped for it.
-            use_pallas = (os.environ.get("COOLCHIC_PALLAS_DECODE") == "1"
-                          and n_streams == 128 and w_i > 9 and w_i <= 1270)
-            if use_pallas:
-                from coolchic_tpu.ops.pallas_decode import decode_grid_pallas
-
-                words = [np.frombuffer(b, dtype=np.uint32) for b in stream_bytes]
-                grid = decode_grid_pallas(words, h_i, w_i, arm_fp, ctx_idx,
-                                          ifce_ctx)
-            else:
-                decoders = [rc.RangeDecoder(b) for b in stream_bytes]
-                grid = rc.code_grid_streams(decoders, False, h_i, w_i,
-                                            cfg.spatial_context_arm, ifce_ctx,
-                                            arm_fp, ctx_idx, model=model)
+                                          h_i, w_i, model=0)
+        grid = rc.code_grid(decoder, False, h_i, w_i, cfg.spatial_context_arm,
+                            ifce_ctx, arm_fp, ctx_idx)
         decoded.insert(0, grid)
 
     raw_out = synthesize(nn_params, cfg, decoded)
     return raw_out, decoded
+
+
+def decode_coolchic_batched(items: list[tuple[CoolChicHeader, bytes, bytes]]
+                            ) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """Decode several `tpu`-profile cool-chic payloads together, staged per
+    pyramid level so that same-shape grids of DIFFERENT images share one
+    grid-batched Pallas kernel call (the kernel stacks up to 8 grids on the
+    sublane axis -- ops/pallas_decode.decode_grids_pallas). Grids the kernel
+    does not cover (n_streams != 128, tiny/very wide grids, or
+    COOLCHIC_PALLAS_DECODE unset) take the host C++ path.
+
+    items: (header, bytes_nn, bytes_latent) per image. Returns
+    [(raw_out, decoded_grids), ...] in item order.
+    """
+    use_pallas = os.environ.get("COOLCHIC_PALLAS_DECODE") == "1"
+
+    st = []
+    for header, bytes_nn, bytes_latent in items:
+        cfg = header.to_config()
+        nn_params = decode_network(bytes_nn, cfg, header.nn_q_step_shift,
+                                   header.nn_expgol_cnt, header.nn_n_bit_pad)
+        st.append({"cfg": cfg, "header": header, "nn": nn_params,
+                   "arm": _main_arm_params(nn_params, header, cfg, 1),
+                   "ctx_idx": non_zero_pixel_ctx_index(cfg.spatial_context_arm),
+                   "lat": bytes_latent, "cursor": 0, "decoded": []})
+
+    max_levels = max(s["cfg"].n_latent_grids for s in st)
+    for level in range(max_levels - 1, -1, -1):
+        # parse this level's stream block + IFCE context, image by image
+        # (the byte cursor within an image payload is strictly sequential)
+        jobs_by_key: dict[tuple, list] = {}
+        for s in st:
+            if level >= s["cfg"].n_latent_grids:
+                continue
+            cfg, lat = s["cfg"], s["lat"]
+            h_i, w_i = cfg.size_per_latent[level]
+            ifce_ctx = _ifce_context_for_grid(s["nn"], cfg, s["header"], level,
+                                              s["decoded"], h_i, w_i, model=1)
+            cursor = s["cursor"]
+            n_streams = lat[cursor]
+            cursor += 1
+            counts = np.frombuffer(lat, dtype="<u4", offset=cursor,
+                                   count=n_streams)
+            cursor += 4 * n_streams
+            stream_bytes = []
+            for c in counts:
+                stream_bytes.append(lat[cursor:cursor + 4 * int(c)])
+                cursor += 4 * int(c)
+            s["cursor"] = cursor
+
+            if use_pallas and n_streams == 128 and 9 < w_i <= 1270:
+                dims = tuple((int(wm.shape[0]), int(wm.shape[1]))
+                             for wm in s["arm"]["trunk_weights"])
+                n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
+                key = (h_i, w_i, cfg.spatial_context_arm, n_ifce, dims)
+                words = [np.frombuffer(b, dtype=np.uint32)
+                         for b in stream_bytes]
+                jobs_by_key.setdefault(key, []).append(
+                    (s, {"words": words, "arm8": s["arm"], "ifce": ifce_ctx}))
+            else:
+                decoders = [rc.RangeDecoder(b) for b in stream_bytes]
+                grid = rc.code_grid_streams(decoders, False, h_i, w_i,
+                                            cfg.spatial_context_arm, ifce_ctx,
+                                            s["arm"], s["ctx_idx"], model=1)
+                s["decoded"].insert(0, grid)
+
+        # one batched kernel call per (shape, arch) group, chunked to the
+        # VMEM-fit batch size
+        for (h_i, w_i, n_spatial, n_ifce, _dims), pairs in jobs_by_key.items():
+            from coolchic_tpu.ops.pallas_decode import (decode_grids_pallas,
+                                                        grid_batch_limit)
+
+            limit = grid_batch_limit(h_i, w_i, n_ifce)
+            ctx_idx = non_zero_pixel_ctx_index(n_spatial)
+            for i in range(0, len(pairs), limit):
+                chunk = pairs[i:i + limit]
+                grids = decode_grids_pallas([j for _, j in chunk], h_i, w_i,
+                                            ctx_idx, n_ifce)
+                for (s, _), grid in zip(chunk, grids):
+                    s["decoded"].insert(0, grid)
+
+    return [(synthesize(s["nn"], s["cfg"], s["decoded"]), s["decoded"])
+            for s in st]
 
 
 def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,

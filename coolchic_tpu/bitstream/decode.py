@@ -61,6 +61,13 @@ def decode_frame(bitstream: bytes, reference_frames: list[FrameData] | None = No
                 + (1 - beta) * warp_fn(shifted[1], flow_2, fsize)
         decoded = alpha * pred + residue
 
+    return _finish_frame(decoded, bitdepth, frame_data_type), bitstream
+
+
+def _finish_frame(decoded: np.ndarray, bitdepth: int,
+                  frame_data_type: str) -> FrameData:
+    """Bitdepth rounding + 444->420 tail shared by single and batched decode
+    (reference coolchic/bitstream/decode.py:188-207 semantics)."""
     max_dyn = 2**bitdepth - 1
     decoded = np.round(max_dyn * decoded) / max_dyn
 
@@ -71,7 +78,56 @@ def decode_frame(bitstream: bytes, reference_frames: list[FrameData] | None = No
         decoded = np.clip(decoded, 0.0, 1.0)
         decoded = np.round(decoded * max_dyn) / max_dyn
 
-    return FrameData(bitdepth=bitdepth, frame_data_type=frame_data_type, data=decoded), bitstream
+    return FrameData(bitdepth=bitdepth, frame_data_type=frame_data_type, data=decoded)
+
+
+def decode_images(bitstream_paths: list[str],
+                  decoded_paths: Optional[list[str]] = None
+                  ) -> list[FrameData]:
+    """Batched decode of N single-frame intra `tpu`-profile bitstreams.
+
+    Same-shape latent grids of DIFFERENT images decode together inside one
+    grid-batched Pallas kernel call (up to 8 grids stacked on the sublane
+    axis, codec.decode_coolchic_batched) -- the throughput path for decoding
+    an image set (e.g. the 24-image Kodak sweep) on one chip. The reference
+    has no equivalent; its decoder is strictly one process per bitstream.
+    """
+    from coolchic_tpu.bitstream.codec import decode_coolchic_batched
+    from coolchic_tpu.bitstream.encode import TPU_PROFILE_MAGIC
+
+    items, metas = [], []
+    for path in bitstream_paths:
+        with open(path, "rb") as f:
+            bitstream = f.read()
+        if not bitstream.startswith(TPU_PROFILE_MAGIC):
+            raise ValueError(f"{path}: not a tpu-profile bitstream; batched "
+                             "decode needs --profile tpu encodes")
+        bitstream = bitstream[len(TPU_PROFILE_MAGIC):]
+        video_header, bitstream = VideoHeader.read(bitstream)
+        if video_header.n_frames != 1:
+            raise ValueError(f"{path}: {video_header.n_frames} frames; "
+                             "batched decode covers single-frame bitstreams")
+        frame_header, bitstream = FrameHeader.read(bitstream)
+        assert frame_header.frame_type == "I"
+        cc_header, bitstream = CoolChicHeader.read(bitstream)
+        bytes_nn = bitstream[:cc_header.nn_n_bytes]
+        bitstream = bitstream[cc_header.nn_n_bytes:]
+        bytes_latent = bitstream[:cc_header.n_bytes_latent]
+        items.append((cc_header, bytes_nn, bytes_latent))
+        metas.append(frame_header)
+
+    outputs = decode_coolchic_batched(items)
+
+    frames = []
+    for i, (frame_header, (raw_out, _)) in enumerate(zip(metas, outputs)):
+        frame_data = _finish_frame(raw_out, frame_header.bitdepth,
+                                   frame_header.frame_data_type)
+        frames.append(frame_data)
+        if decoded_paths is not None:
+            from coolchic_tpu.io.io import save_frame_data_to_file
+
+            save_frame_data_to_file(frame_data, decoded_paths[i])
+    return frames
 
 
 def decode_video(bitstream_path: str, decoded_path: Optional[str] = None,

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: lane-parallel wavefront decode of one latent grid
+"""Pallas TPU kernel: lane-parallel wavefront decode of latent grids
 (`tpu` bitstream profile, docs/tpu_profile.md).
 
 The whole decode -- fixed-point ARM context prediction, integer Laplace CDF,
@@ -10,22 +10,28 @@ iteration:
     (row-offset, lane-roll) pair -- the only data movement TPU lanes can do.
   * streams are keyed by row (stream = y mod 128 = lane), so the 128
     range-decoder states never cross lanes.
+  * G INDEPENDENT GRIDS (same shape + arch, e.g. the same pyramid level of G
+    images) are decoded simultaneously, stacked on the SUBLANE axis: every
+    per-lane value is a [G, 128] array, so one 8x128 vector op advances up to
+    8 grids at once instead of leaving 7/8 of the VPU idle. G is chosen by
+    VMEM fit (v5e has ~128 MB; the sheared symbol store and IFCE context are
+    the big consumers).
   * all 64-bit coder state is emulated as uint32 (hi, lo) pairs: 16-bit-limb
     multiplies, borrow-propagating subtracts, and a 25-step restoring long
     division for the quantile (no 64-bit types exist in Mosaic).
   * the probability model is the nine-integer-constant polynomial CDF of
     bitstream/tpu_cdf.py -- identical integer ops to the C++ encoder, so
     decode is exact by construction.
-  * the per-lane word refill (each stream consumes its own words) is the one
-    true gather; it runs as a one-hot masked sum over the word rows.
+  * the per-(grid, lane) word refill (each stream consumes its own words) is
+    the one true gather; it runs as a one-hot masked sum over the word rows.
 
-v1 scope: grids with n_streams == 128 and w > 9 (the big grids, where the
-decode time lives); smaller grids take the host C++ path.
+Scope: grids with n_streams == 128 and 9 < w <= 1270 (the big grids, where
+the decode time lives); smaller grids take the host C++ path.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -54,8 +60,17 @@ LANES = 128
 PAD_D = 45  # max |row offset| of a causal tap is |dx + 10*dy| <= 44
 PAD_TAIL = 5  # the 49-row tap block reads up to d + 4
 
+# VMEM budget for choosing the grid-batch size G (the v5e has ~128 MB; leave
+# headroom for spills, the words buffer and double-buffered loads).
+VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
 _U32 = jnp.uint32
 _I32 = jnp.int32
+
+# Perf-debug knob: subset of {"taps", "arm", "div", "search", "refill"} to
+# stub out (decode output becomes garbage; timing-only). Set BEFORE the first
+# _build call for a shape, or _build.cache_clear() after changing it.
+_ABLATE: frozenset = frozenset()
 
 
 # ---------------------------------------------------------------------------
@@ -167,7 +182,7 @@ def _left_cum(s, mu_fp, slope):
 # The kernel.
 # ---------------------------------------------------------------------------
 def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
-                 n_trunk: int, R: int, D: int):
+                 n_trunk: int, R: int, D: int, G: int):
     """dims: per-trunk-layer (in, out); taps: ((dy, dx), ...) spatial taps."""
     from jax.experimental import pallas as pl
 
@@ -175,13 +190,18 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
     dim = n_spatial + n_ifce
 
     def kernel(words_ref, wtr_ref, btr_ref, stw_ref, stb_ref, ifce_ref, s_ref):
-        lane = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
+        lane = jax.lax.broadcasted_iota(_I32, (G, LANES), 1)
 
         # Zero the PAD_D head rows once (context reads into "before the
         # grid" must see zeros).
-        s_ref[0:PAD_D, :] = jnp.zeros((PAD_D, LANES), _I32)
+        s_ref[0:PAD_D, :, :] = jnp.zeros((PAD_D, G, LANES), _I32)
 
-        # coder state per lane: point/lower/range as u32 pairs + word cursor
+        def col(ref, j):
+            """[G, 1] column j of a [G, n] VMEM param array (static slice),
+            broadcast against [G, LANES] operands."""
+            return ref[:, j:j + 1]
+
+        # coder state per (grid, lane): point/lower/range u32 pairs + cursor
         def body(d, carry):
             (lo_hi, lo_lo, rg_hi, rg_lo, pt_hi, pt_lo, cur) = carry
 
@@ -197,53 +217,58 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
             # then a STATIC row of the (per-dy rolled) block.
             from jax.experimental.pallas import tpu as pltpu
 
-            block = s_ref[pl.ds(d + PAD_D - 44, 49), :]
-            rolled = {0: block}
-            for dy in sorted({t[0] for t in taps}):
-                if dy != 0:
-                    rolled[dy] = pltpu.roll(block, -dy, 1)
-            ctx = []
-            for (dy, dx) in taps:
-                off = 44 + dx + STEP * dy
-                row = rolled[dy][off:off + 1, :]
-                yk = y + dy
-                xk = x + dx
-                valid = active & (yk >= 0) & (xk >= 0) & (xk < w)
-                ctx.append(jnp.where(valid, row, 0) << 8)  # X.8
-            if n_ifce > 0:
-                ifce_rows = ifce_ref[pl.ds(d, 1), :, :]  # [1, n_ifce, LANES]
-                for k in range(n_ifce):
-                    ctx.append(jnp.where(active, ifce_rows[:, k, :], 0))
+            if "taps" in _ABLATE:
+                ctx = [jnp.zeros((G, LANES), _I32) for _ in range(dim)]
+            else:
+                block = s_ref[pl.ds(d + PAD_D - 44, 49), :, :]
+                ctx = []
+                for (dy, dx) in taps:
+                    off = 44 + dx + STEP * dy
+                    row = block[off]  # [G, LANES]
+                    if dy != 0:
+                        row = pltpu.roll(row, -dy, 1)
+                    yk = y + dy
+                    xk = x + dx
+                    valid = active & (yk >= 0) & (xk >= 0) & (xk < w)
+                    ctx.append(jnp.where(valid, row, 0) << 8)  # X.8
+                if n_ifce > 0:
+                    ifce_rows = ifce_ref[pl.ds(d, 1), :, :, :]  # [1,nifce,G,L]
+                    for k in range(n_ifce):
+                        ctx.append(jnp.where(active, ifce_rows[0, k], 0))
 
-            # ---- int32 X.8 ARM (certified overflow-free by the encoder)
-            stab0 = stb_ref[0]
-            stab1 = stb_ref[1]
-            st0 = jnp.full((1, LANES), stab0, _I32)
-            st1 = jnp.full((1, LANES), stab1, _I32)
-            for i in range(dim):
-                st0 = st0 + stw_ref[i * 2 + 0] * ctx[i]
-                st1 = st1 + stw_ref[i * 2 + 1] * ctx[i]
+            # ---- int32 X.8 ARM (certified overflow-free by the encoder).
+            # weights/biases are per-grid [G, n] arrays; each scalar becomes
+            # a [G, 1] column broadcast over the 128 lanes.
+            if "arm" in _ABLATE:
+                mu_raw = ctx[0] >> 6
+                ls_raw = ctx[-1] >> 8
+            else:
+                st0 = jnp.zeros((G, LANES), _I32) + col(stb_ref, 0)
+                st1 = jnp.zeros((G, LANES), _I32) + col(stb_ref, 1)
+                for i in range(dim):
+                    st0 = st0 + col(stw_ref, i * 2 + 0) * ctx[i]
+                    st1 = st1 + col(stw_ref, i * 2 + 1) * ctx[i]
 
-            acts = ctx
-            w_off = 0
-            b_off = 0
-            for li, (n_in, n_out) in enumerate(dims):
-                last = li == n_trunk - 1
-                outs = []
-                for o in range(n_out):
-                    acc = jnp.full((1, LANES), btr_ref[b_off + o], _I32)
-                    for i in range(n_in):
-                        acc = acc + wtr_ref[w_off + i * n_out + o] * acts[i]
-                    if last:
-                        acc = acc + (st0 if o == 0 else st1)
-                        acc = acc >> 8  # arithmetic: X.16 -> X.8
-                    else:
-                        acc = jnp.maximum(acc, 0) >> 8
-                    outs.append(acc)
-                acts = outs
-                w_off += n_in * n_out
-                b_off += n_out
-            mu_raw, ls_raw = acts[0], acts[1]
+                acts = ctx
+                w_off = 0
+                b_off = 0
+                for li, (n_in, n_out) in enumerate(dims):
+                    last = li == n_trunk - 1
+                    outs = []
+                    for o in range(n_out):
+                        acc = jnp.zeros((G, LANES), _I32) + col(btr_ref, b_off + o)
+                        for i in range(n_in):
+                            acc = acc + col(wtr_ref, w_off + i * n_out + o) * acts[i]
+                        if last:
+                            acc = acc + (st0 if o == 0 else st1)
+                            acc = acc >> 8  # arithmetic: X.16 -> X.8
+                        else:
+                            acc = jnp.maximum(acc, 0) >> 8
+                        outs.append(acc)
+                    acts = outs
+                    w_off += n_in * n_out
+                    b_off += n_out
+                mu_raw, ls_raw = acts[0], acts[1]
 
             idx_mu = jnp.clip(mu_raw - MU_MIN_FIXED_POINT, 0, N_POSSIBLE_MU - 1)
             mu_fp = idx_mu + MU_MIN_FIXED_POINT
@@ -254,28 +279,36 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
             # ---- quantile = (point - lower) / (range >> 24), 25-bit division
             sc_hi = rg_hi >> 24
             sc_lo = (rg_lo >> 24) | (rg_hi << 8)
-            t_hi, t_lo = _pair_sub(pt_hi, pt_lo, lo_hi, lo_lo)
-            quant = jnp.zeros((1, LANES), _U32)
-            for bit in range(24, -1, -1):
-                tr_hi, tr_lo = _pair_shl(sc_hi, sc_lo, bit)
-                ge = _pair_ge(t_hi, t_lo, tr_hi, tr_lo)
-                nh, nl = _pair_sub(t_hi, t_lo, tr_hi, tr_lo)
-                t_hi = jnp.where(ge, nh, t_hi)
-                t_lo = jnp.where(ge, nl, t_lo)
-                quant = quant | (ge.astype(_U32) << bit)
             qmax = _U32((1 << PRECISION) - 1)
-            quant = jnp.where(quant > qmax, qmax, quant)
+            if "div" in _ABLATE:
+                quant = pt_lo & qmax
+            else:
+                t_hi, t_lo = _pair_sub(pt_hi, pt_lo, lo_hi, lo_lo)
+                quant = jnp.zeros((G, LANES), _U32)
+                for bit in range(24, -1, -1):
+                    tr_hi, tr_lo = _pair_shl(sc_hi, sc_lo, bit)
+                    ge = _pair_ge(t_hi, t_lo, tr_hi, tr_lo)
+                    nh, nl = _pair_sub(t_hi, t_lo, tr_hi, tr_lo)
+                    t_hi = jnp.where(ge, nh, t_hi)
+                    t_lo = jnp.where(ge, nl, t_lo)
+                    quant = quant | (ge.astype(_U32) << bit)
+                quant = jnp.where(quant > qmax, qmax, quant)
 
             # ---- 7-step binary search for the symbol
-            s_sym = jnp.full((1, LANES), SYM_MIN, _I32)
-            for step in (64, 32, 16, 8, 4, 2, 1):
-                cand = s_sym + step
-                ok = (cand <= SYM_MAX) & (_left_cum(cand, mu_fp, slope) <= quant)
-                s_sym = jnp.where(ok, cand, s_sym)
-            left = _left_cum(s_sym, mu_fp, slope)
-            nxt = _left_cum(jnp.minimum(s_sym + 1, SYM_MAX), mu_fp, slope)
-            prob = jnp.where(s_sym >= SYM_MAX, _U32(1 << PRECISION) - left,
-                             nxt - left)
+            if "search" in _ABLATE:
+                s_sym = (quant >> 17).astype(_I32) + SYM_MIN
+                left = quant & _U32(0xFFFF)
+                prob = _U32(4096)
+            else:
+                s_sym = jnp.full((G, LANES), SYM_MIN, _I32)
+                for step in (64, 32, 16, 8, 4, 2, 1):
+                    cand = s_sym + step
+                    ok = (cand <= SYM_MAX) & (_left_cum(cand, mu_fp, slope) <= quant)
+                    s_sym = jnp.where(ok, cand, s_sym)
+                left = _left_cum(s_sym, mu_fp, slope)
+                nxt = _left_cum(jnp.minimum(s_sym + 1, SYM_MAX), mu_fp, slope)
+                prob = jnp.where(s_sym >= SYM_MAX, _U32(1 << PRECISION) - left,
+                                 nxt - left)
 
             # ---- advance (only active lanes). scale < 2^40 (sc_hi < 2^8) and
             # left/prob < 2^24, so sc_hi * left fits u32 and lands at weight
@@ -287,23 +320,33 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
             rp_hi = rp_hi + sc_hi * prob
 
             renorm = rp_hi == 0
-            # refill word per lane: words[cursor, lane] via a one-hot masked
-            # sum -- the one true per-lane gather. Blocked over 32 rows per
-            # iteration so the loop runs R/32 times on [32, 128] tiles.
+            # refill word per (grid, lane): words[cursor, g, lane] via a
+            # one-hot masked sum -- the one true per-lane gather. Blocked so
+            # each iteration reads [NBLK, G, 128], and the scan is BOUNDED by
+            # the live cursor range: only ACTIVE lanes can consume a word
+            # this wavefront, and cursors only advance, so rows outside
+            # [min, max] of the active cursors can never be selected.
             NBLK = 32
+            lo_blk = jnp.min(jnp.where(active, cur, R)) // NBLK
+            hi_blk = jnp.minimum(
+                jnp.max(jnp.where(active, cur, 0)) // NBLK + 1, R // NBLK)
+
             def _refill(i, acc):
                 r0 = i * NBLK
-                blk = words_ref[pl.ds(r0, NBLK), :]
-                ridx = jax.lax.broadcasted_iota(_I32, (NBLK, LANES), 0) + r0
+                blk = words_ref[pl.ds(r0, NBLK), :, :]
+                ridx = jax.lax.broadcasted_iota(_I32, (NBLK, G, LANES), 0) + r0
                 sel = ridx == cur
                 # Mosaic has no unsigned reductions; i32 wrapping adds are
                 # bit-identical (at most one selected row is non-zero).
                 blk_i = jax.lax.bitcast_convert_type(blk, jnp.int32)
-                part = jnp.sum(jnp.where(sel, blk_i, 0), axis=0, keepdims=True)
+                part = jnp.sum(jnp.where(sel, blk_i, 0), axis=0)
                 return acc + jax.lax.bitcast_convert_type(part, _U32)
 
-            nw = jax.lax.fori_loop(0, R // NBLK, _refill,
-                                   jnp.zeros((1, LANES), _U32))
+            if "refill" in _ABLATE:
+                nw = pt_lo ^ pt_hi
+            else:
+                nw = jax.lax.fori_loop(lo_blk, hi_blk, _refill,
+                                       jnp.zeros((G, LANES), _U32))
 
             upd = active
             ren = upd & renorm
@@ -316,15 +359,16 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
             cur = jnp.where(ren, cur + 1, cur)
 
             # ---- store decoded symbols (inactive lanes stay zero)
-            s_ref[pl.ds(d + PAD_D, 1), :] = jnp.where(active, s_sym, 0)
+            s_ref[pl.ds(d + PAD_D, 1), :, :] = jnp.where(
+                active, s_sym, 0).reshape(1, G, LANES)
 
             return (lo_hi, lo_lo, rg_hi, rg_lo, pt_hi, pt_lo, cur)
 
-        zero = jnp.zeros((1, LANES), _U32)
-        ones = jnp.full((1, LANES), 0xFFFFFFFF, _U32)
-        pt_hi0 = words_ref[0:1, :]
-        pt_lo0 = words_ref[1:2, :]
-        cur0 = jnp.full((1, LANES), 2, _I32)
+        zero = jnp.zeros((G, LANES), _U32)
+        ones = jnp.full((G, LANES), 0xFFFFFFFF, _U32)
+        pt_hi0 = words_ref[0]
+        pt_lo0 = words_ref[1]
+        cur0 = jnp.full((G, LANES), 2, _I32)
         jax.lax.fori_loop(0, D, body,
                           (zero, zero, ones, ones, pt_hi0, pt_lo0, cur0))
 
@@ -343,98 +387,145 @@ def _tap_list(ctx_idx: np.ndarray) -> tuple:
 
 @lru_cache(maxsize=64)
 def _build(h: int, w: int, taps: tuple, n_ifce: int, dims: tuple, R: int,
-           interpret: bool):
+           G: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = (w - 1) + (h - 1) * STEP + 1
     n_trunk = len(dims)
-    kernel = _make_kernel(h, w, dims, taps, n_ifce, n_trunk, R, D)
+    kernel = _make_kernel(h, w, dims, taps, n_ifce, n_trunk, R, D, G)
 
     n_w = sum(i * o for i, o in dims)
     n_b = sum(o for _, o in dims)
     dim = len(taps) + n_ifce
 
-    ifce_shape = (D, max(n_ifce, 1), LANES)
+    ifce_shape = (D, max(n_ifce, 1), G, LANES)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((D + PAD_D + PAD_TAIL, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((D + PAD_D + PAD_TAIL, G, LANES),
+                                       jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # words [R, 128]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # trunk weights [n_w]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # trunk biases [n_b]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # stab weights [dim*2]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # stab biases [2]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # words [R, G, 128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # trunk weights [G, n_w]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # trunk biases [G, n_b]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # stab weights [G, dim*2]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # stab biases [G, 2]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ifce sheared
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        # Mosaic's default scoped-vmem cap is 16 MB; the v5e physically has
+        # 128 MB and the grid batch is sized against VMEM_BUDGET_BYTES.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )
 
     def run(words, wtr, btr, stw, stb, ifce):
-        assert words.shape == (R, LANES)
-        assert wtr.shape == (n_w,) and btr.shape == (n_b,)
-        assert stw.shape == (dim * 2,) and stb.shape == (2,)
+        assert words.shape == (R, G, LANES)
+        assert wtr.shape == (G, n_w) and btr.shape == (G, n_b)
+        assert stw.shape == (G, dim * 2) and stb.shape == (G, 2)
         assert ifce.shape == ifce_shape
         return out(words, wtr, btr, stw, stb, ifce)
 
     return run, D
 
 
-def _round_up(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
+def grid_batch_limit(h: int, w: int, n_ifce: int) -> int:
+    """Largest power-of-two grid batch G (<= 8) whose sheared symbol store +
+    IFCE context + word buffers fit the VMEM budget."""
+    D = (w - 1) + (h - 1) * STEP + 1
+    per_grid = (D + PAD_D + PAD_TAIL) * LANES * 4          # symbol store
+    per_grid += D * max(n_ifce, 1) * LANES * 4             # ifce context
+    per_grid += 2048 * LANES * 4                           # words (R <= 2048)
+    g = 8
+    while g > 1 and g * per_grid > VMEM_BUDGET_BYTES:
+        g //= 2
+    return g
+
+
+def decode_grids_pallas(jobs: list[dict], h: int, w: int,
+                        ctx_idx: np.ndarray, n_ifce: int,
+                        interpret: bool = False) -> list[np.ndarray]:
+    """Decode a batch of same-shape, same-architecture [h, w] grids.
+
+    Each job is {"words": list of 128 u32 arrays, "arm8": X.8 int32 params
+    (tpu_cdf.arm8_from_int_layers layout), "ifce": [h*w, n_ifce] int or None}.
+    All jobs share (h, w), the spatial context layout and the ARM dims; they
+    may have different weights, payloads and IFCE contexts. Returns the
+    decoded int64 grids in job order.
+    """
+    assert jobs and w > MASK
+    if not interpret:
+        interpret = jax.default_backend() != "tpu"  # CPU runs use interpret
+    n_jobs = len(jobs)
+
+    # pad the batch to a power-of-two bucket (duplicates of job 0 keep every
+    # sublane row well-defined without extra compiled variants)
+    G = 1
+    while G < n_jobs:
+        G *= 2
+    assert G <= 8, "batch at most 8 grids per kernel call"
+    jobs = list(jobs) + [jobs[0]] * (G - n_jobs)
+
+    dims = tuple((int(wm.shape[0]), int(wm.shape[1]))
+                 for wm in jobs[0]["arm8"]["trunk_weights"])
+    n_w = sum(i * o for i, o in dims)
+    n_b = sum(o for _, o in dims)
+    dim = len(_tap_list(ctx_idx)) + n_ifce
+
+    # words [R, G, 128]: stream s of grid g, word r at [r, g, s]; zero-padded
+    # (the constriction decoder zero-pads past the stream end).
+    max_words = 2
+    for job in jobs:
+        max_words = max(max_words, max(len(ws) for ws in job["words"]))
+    R = 64  # power-of-two bucket bounds the number of compiled variants
+    while R < max_words:
+        R *= 2
+    words = np.zeros((R, G, LANES), dtype=np.uint32)
+    wtr = np.zeros((G, n_w), dtype=np.int32)
+    btr = np.zeros((G, n_b), dtype=np.int32)
+    stw = np.zeros((G, dim * 2), dtype=np.int32)
+    stb = np.zeros((G, 2), dtype=np.int32)
+
+    taps = _tap_list(ctx_idx)
+    run, D = _build(h, w, taps, n_ifce, dims, R, G, interpret)
+
+    ifce_shear = np.zeros((D, max(n_ifce, 1), G, LANES), dtype=np.int32)
+    ys, xs = np.divmod(np.arange(h * w), w)
+    d_of = xs + STEP * ys
+    lane_of = ys % LANES
+
+    for g, job in enumerate(jobs):
+        for s, ws in enumerate(job["words"]):
+            words[: len(ws), g, s] = ws
+        arm8 = job["arm8"]
+        assert tuple((int(wm.shape[0]), int(wm.shape[1]))
+                     for wm in arm8["trunk_weights"]) == dims
+        wtr[g] = np.concatenate([np.asarray(wm, np.int32).reshape(-1)
+                                 for wm in arm8["trunk_weights"]])
+        btr[g] = np.concatenate([np.asarray(bm, np.int32).reshape(-1)
+                                 for bm in arm8["trunk_biases"]])
+        stw[g] = np.asarray(arm8["stab_weight"], np.int32).reshape(-1)
+        stb[g] = np.asarray(arm8["stab_bias"], np.int32).reshape(-1)
+        if n_ifce > 0:
+            ifce_shear[d_of, :, g, lane_of] = np.asarray(
+                job["ifce"], np.int64).astype(np.int32)
+
+    s_sheared = np.asarray(run(jnp.asarray(words), jnp.asarray(wtr),
+                               jnp.asarray(btr), jnp.asarray(stw),
+                               jnp.asarray(stb), jnp.asarray(ifce_shear)))
+
+    return [s_sheared[d_of + PAD_D, g, lane_of].reshape(h, w).astype(np.int64)
+            for g in range(n_jobs)]
 
 
 def decode_grid_pallas(payload_words: list[np.ndarray], h: int, w: int,
                        arm8: dict, ctx_idx: np.ndarray,
                        ifce_ctx: np.ndarray | None,
                        interpret: bool = False) -> np.ndarray:
-    """Decode one [h, w] grid from 128 per-stream u32 word arrays.
-
-    arm8: X.8 int32 params (tpu_cdf.arm8_from_int_layers layout).
-    ifce_ctx: [h*w, n_ifce] X.8 int64 or None.
-    """
-    assert len(payload_words) == LANES and w > MASK
-    if not interpret:
-        interpret = jax.default_backend() != "tpu"  # CPU runs use interpret mode
+    """Decode one [h, w] grid from 128 per-stream u32 word arrays."""
+    assert len(payload_words) == LANES
     n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
-
-    # words [R, 128]: stream s's r-th word at [r, s]; zero-padded (the
-    # constriction decoder zero-pads past the stream end).
-    max_words = max(2, max(len(ws) for ws in payload_words))
-    # power-of-two bucket (>= 64): bounds the number of compiled variants
-    R = 64
-    while R < max_words:
-        R *= 2
-    words = np.zeros((R, LANES), dtype=np.uint32)
-    for s, ws in enumerate(payload_words):
-        words[: len(ws), s] = ws
-
-    dims = tuple((int(wm.shape[0]), int(wm.shape[1]))
-                 for wm in arm8["trunk_weights"])
-    wtr = np.concatenate([np.asarray(wm, np.int32).reshape(-1)
-                          for wm in arm8["trunk_weights"]])
-    btr = np.concatenate([np.asarray(bm, np.int32).reshape(-1)
-                          for bm in arm8["trunk_biases"]])
-    stw = np.asarray(arm8["stab_weight"], np.int32).reshape(-1)
-    stb = np.asarray(arm8["stab_bias"], np.int32).reshape(-1)
-
-    taps = _tap_list(ctx_idx)
-    run, D = _build(h, w, taps, n_ifce, dims, R, interpret)
-
-    # shear the IFCE context to (row d, lane y mod 128)
-    ifce_shear = np.zeros((D, max(n_ifce, 1), LANES), dtype=np.int32)
-    if n_ifce > 0:
-        ys, xs = np.divmod(np.arange(h * w), w)
-        d = xs + STEP * ys
-        ifce_shear[d, :, ys % LANES] = np.asarray(ifce_ctx, np.int64).astype(np.int32)
-
-    s_sheared = np.asarray(run(jnp.asarray(words), jnp.asarray(wtr),
-                               jnp.asarray(btr), jnp.asarray(stw),
-                               jnp.asarray(stb), jnp.asarray(ifce_shear)))
-
-    # unshear
-    ys, xs = np.divmod(np.arange(h * w), w)
-    d = xs + STEP * ys
-    grid = s_sheared[d + PAD_D, ys % LANES].reshape(h, w)
-    return grid.astype(np.int64)
+    job = {"words": payload_words, "arm8": arm8, "ifce": ifce_ctx}
+    return decode_grids_pallas([job], h, w, ctx_idx, n_ifce,
+                               interpret=interpret)[0]

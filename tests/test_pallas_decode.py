@@ -68,6 +68,34 @@ def test_pallas_decode_with_ifce_and_stab():
     _roundtrip(20, 48, 12, 2, seed=1, stab=True)
 
 
+def test_pallas_decode_grid_batch():
+    """G > 1: three heterogeneous grids (different ARM weights, payloads and
+    IFCE contexts) decoded in one kernel call (padded to G = 4), each
+    bit-exact against its own C++ decode."""
+    from coolchic_tpu.ops.pallas_decode import decode_grids_pallas
+
+    h, w, n_spatial, n_ifce = 20, 40, 8, 2
+    ctx_idx = non_zero_pixel_ctx_index(n_spatial)
+    jobs, datas = [], []
+    for seed in (10, 11, 12):
+        rng = np.random.default_rng(seed)
+        arm8 = _random_arm8(rng, n_spatial, n_ifce, stab=(seed % 2 == 0))
+        data = rng.integers(-8, 8, size=(h, w)).astype(np.int64)
+        ifce = rng.integers(-2000, 2000, size=(h * w, n_ifce)).astype(np.int64)
+        encoders = [rc.RangeEncoder() for _ in range(LANES)]
+        rc.code_grid_streams(encoders, True, h, w, n_spatial, ifce, arm8,
+                             ctx_idx, data=data, model=1)
+        words = [np.frombuffer(e.get_bytes(), dtype=np.uint32)
+                 for e in encoders]
+        jobs.append({"words": words, "arm8": arm8, "ifce": ifce})
+        datas.append(data)
+
+    out = decode_grids_pallas(jobs, h, w, ctx_idx, n_ifce, interpret=True)
+    assert len(out) == 3
+    for got, want in zip(out, datas):
+        np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_decode_tall():
     # h > 128: multiple y share a lane (in different wavefronts)
     _roundtrip(150, 16, 8, 0, seed=2)

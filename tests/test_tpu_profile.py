@@ -78,3 +78,34 @@ def test_tpu_profile_e2e(tmp_path):
     mse = float((d * d).mean())
     dec_psnr = -10 * np.log10(max(mse, 1e-10))
     assert abs(dec_psnr - res["psnr_db"]) < 0.3, (dec_psnr, res["psnr_db"])
+
+
+def test_tpu_profile_batched_image_decode(tmp_path):
+    """decode_images: two differently-trained bitstreams decode together
+    (per-pyramid-level staging, codec.decode_coolchic_batched) to exactly
+    the frames the one-at-a-time decoder produces."""
+    from coolchic_tpu.bitstream.decode import decode_images, decode_video
+    from coolchic_tpu.io.images import read_png
+    from coolchic_tpu.train.encode import encode_image_to_bitstream
+    from coolchic_tpu.utils.parsecli import (
+        INTRA_OPERATING_POINTS,
+        coolchic_config_from_args,
+    )
+    from tests.test_e2e import FastPreset
+
+    frame = read_png("tests/data/192x128_kodim15.png")
+    cfgs = {"residue": coolchic_config_from_args(
+        INTRA_OPERATING_POINTS["lop"], frame.img_size)}
+    paths = []
+    for seed, lmbda in ((0, 1e-3), (1, 2e-2)):
+        preset = FastPreset(lmbda=lmbda, start_lr=1e-2, itr_main_training=40)
+        path = str(tmp_path / f"im{seed}.cool")
+        encode_image_to_bitstream(frame, cfgs, preset, path, seed=seed,
+                                  verbose=False, rdoq=False, profile="tpu")
+        paths.append(path)
+
+    batched = decode_images(paths)
+    for path, got in zip(paths, batched):
+        want = decode_video(path)["0"]
+        np.testing.assert_array_equal(np.asarray(got.data),
+                                      np.asarray(want.data))

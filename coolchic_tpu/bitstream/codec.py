@@ -169,21 +169,31 @@ def _main_arm_params(nn_params: dict, header: CoolChicHeader, cfg: CoolChicConfi
         header.nn_q_step_shift[("arm", "bias")], **kw)
 
 
-def _check_arm8_certificate(nn_params_int: dict, header: CoolChicHeader,
-                            cfg: CoolChicConfig, arm_fp: dict) -> None:
+def _arm8_in_bound(arm_fp: dict, ifce_ctx: Optional[np.ndarray]) -> np.ndarray:
+    """Per-column input bound (X.8) for the int32 ARM certificate: spatial
+    columns are symbols in [-64, 63] shifted to X.8 (<= 64 * 2^8); IFCE
+    columns are UNCLAMPED network outputs, so their bound is the actual
+    per-column max |ifce_ctx| of the grid being coded."""
+    dim = arm_fp["trunk_weights"][0].shape[0]
+    n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
+    in_bound = np.full(dim, 64.0 * 256.0)
+    if n_ifce:
+        in_bound[dim - n_ifce:] = np.abs(
+            ifce_ctx.reshape(-1, n_ifce)).max(axis=0).astype(np.float64)
+    return in_bound
+
+
+def _check_arm8_certificate(arm_fp: dict, ifce_ctx: Optional[np.ndarray]) -> None:
     """The tpu profile requires every int32 X.8 ARM intermediate to stay in
-    range (it is what lets the Pallas kernel run pure int32). Spatial inputs
-    are bounded by 64 * 2^8; IFCE context columns by the X.8 IFCE output
-    (conservatively AC_MAX * 2^8 as well -- IFCE outputs are context-scaled
-    latents)."""
+    range (it is what lets the Pallas kernel run pure int32). Checked per
+    grid against the actual IFCE context magnitudes (they are unclamped
+    network outputs with no a-priori bound)."""
     from coolchic_tpu.bitstream.tpu_cdf import arm8_bounds_ok
 
-    dim = arm_fp["trunk_weights"][0].shape[0]
-    in_bound = np.full(dim, 64.0 * 256.0)
-    if not arm8_bounds_ok(arm_fp, in_bound):
+    if not arm8_bounds_ok(arm_fp, _arm8_in_bound(arm_fp, ifce_ctx)):
         raise RuntimeError(
             "tpu-profile int32 ARM certificate failed (pathological quantized "
-            "weights); re-encode with --profile ref")
+            "weights or IFCE magnitudes); re-encode with --profile ref")
 
 
 def grid_n_streams(h: int, w: int) -> int:
@@ -200,12 +210,12 @@ def grid_n_streams(h: int, w: int) -> int:
 def decode_coolchic(header: CoolChicHeader, bytes_nn: bytes, bytes_latent: bytes,
                     profile: str = "ref") -> tuple[np.ndarray, list[np.ndarray]]:
     """Returns (raw synthesis output [1, C, H, W], decoded integer grids)."""
+    if profile == "tpu":
+        return decode_coolchic_batched([(header, bytes_nn, bytes_latent)])[0]
+
     cfg = header.to_config()
     nn_params = decode_network(bytes_nn, cfg, header.nn_q_step_shift,
                                header.nn_expgol_cnt, header.nn_n_bit_pad)
-
-    if profile == "tpu":
-        return decode_coolchic_batched([(header, bytes_nn, bytes_latent)])[0]
 
     arm_fp = _main_arm_params(nn_params, header, cfg, 0)
     ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
@@ -272,7 +282,14 @@ def decode_coolchic_batched(items: list[tuple[CoolChicHeader, bytes, bytes]]
                 cursor += 4 * int(c)
             s["cursor"] = cursor
 
-            if use_pallas and n_streams == 128 and 9 < w_i <= 1270:
+            # Pallas routing requires the int32 certificate to hold for THIS
+            # grid's actual IFCE magnitudes (the host path measures bounds
+            # itself and falls back to exact int64 arithmetic).
+            from coolchic_tpu.bitstream.tpu_cdf import arm8_bounds_ok
+
+            int32_ok = arm8_bounds_ok(s["arm"],
+                                      _arm8_in_bound(s["arm"], ifce_ctx))
+            if use_pallas and int32_ok and n_streams == 128 and 9 < w_i <= 1270:
                 dims = tuple((int(wm.shape[0]), int(wm.shape[1]))
                              for wm in s["arm"]["trunk_weights"])
                 n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
@@ -294,7 +311,9 @@ def decode_coolchic_batched(items: list[tuple[CoolChicHeader, bytes, bytes]]
             from coolchic_tpu.ops.pallas_decode import (decode_grids_pallas,
                                                         grid_batch_limit)
 
-            limit = grid_batch_limit(h_i, w_i, n_ifce)
+            max_words = max(max(len(ws) for ws in j["words"])
+                            for _, j in pairs)
+            limit = grid_batch_limit(h_i, w_i, n_ifce, max_words)
             ctx_idx = non_zero_pixel_ctx_index(n_spatial)
             for i in range(0, len(pairs), limit):
                 chunk = pairs[i:i + limit]
@@ -321,8 +340,6 @@ def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,
     cfg = header.to_config()
     model = 1 if profile == "tpu" else 0
     arm_fp = _main_arm_params(nn_params_int, header, cfg, model)
-    if model == 1:
-        _check_arm8_certificate(nn_params_int, header, cfg, arm_fp)
     ctx_idx = non_zero_pixel_ctx_index(cfg.spatial_context_arm)
 
     encoder = rc.RangeEncoder() if profile == "ref" else None
@@ -332,6 +349,8 @@ def encode_coolchic_latents(header: CoolChicHeader, nn_params_int: dict,
         h_i, w_i = cfg.size_per_latent[idx_latent]
         ifce_ctx = _ifce_context_for_grid(nn_params_int, cfg, header, idx_latent, coded,
                                           h_i, w_i, model=model)
+        if model == 1:
+            _check_arm8_certificate(arm_fp, ifce_ctx)
         data = np.ascontiguousarray(quantized_latents[idx_latent], dtype=np.int64)
         if profile == "ref":
             out = rc.code_grid(encoder, True, h_i, w_i, cfg.spatial_context_arm,

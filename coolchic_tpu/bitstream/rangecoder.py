@@ -232,9 +232,11 @@ def code_grid_streams(coders: list, is_encode: bool, h: int, w: int, n_spatial_c
                       ifce_ctx: np.ndarray | None, arm_fp: "dict",
                       ctx_flat_idx: np.ndarray,
                       data: np.ndarray | None = None, model: int = 1) -> np.ndarray:
-    """`tpu`-profile variant of code_grid: pixel j of wavefront k is coded on
-    stream j % len(coders), so a decoder can retire all streams of one
-    wavefront in parallel (lanes on TPU, threads on host)."""
+    """`tpu`-profile variant of code_grid: the pixel at row y is coded on
+    stream y % len(coders) (row-keyed; wavefront pixels have distinct
+    consecutive rows, so one wavefront touches each stream at most once and
+    a decoder can retire a whole wavefront in parallel -- lanes on TPU,
+    threads on host)."""
     lib = get_lib()
     n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
     if ifce_ctx is None:

@@ -758,14 +758,25 @@ inline double now_s() {
 constexpr int MASK = 9;       // MAX_ARM_MASK_SIZE
 constexpr int PAD = (MASK - 1) / 2;
 
+// Normative wavefront step of the `tpu` profile: pixel (y, x) belongs to
+// wavefront d = x + step * y. Causality of the 9x9 mask needs step >= 5
+// (a dy = -1 tap reaches dx = +4); the 128-lane decode needs the wavefront
+// row span ceil(w / step) <= 128. The reference format (model 0) keeps the
+// reference's step = MASK + 1 = 10.
+inline int tpu_wavefront_step(int w) {
+    int s = (w + 127) / 128;
+    return s < 5 ? 5 : s;
+}
+
 // Shared wavefront walk: calls fn(pos_in_padded_buffer, wavefront_idx) for
-// every pixel in normative coding order (reference latent.py:63-146). All
+// every pixel in normative coding order (reference latent.py:63-146;
+// wavefront d = x + step * y, pixels of one wavefront by ascending y). All
 // pixels of one wavefront have mutually causal-mask-disjoint contexts, so a
 // decoder may batch them (the ARM inputs of wavefront k only touch pixels of
 // wavefronts < k). For very narrow grids (w <= MASK) the order is raster and
 // every pixel is its own wavefront.
 template <typename F>
-void wavefront_walk(int h, int w, F&& fn) {
+void wavefront_walk(int h, int w, int step, F&& fn) {
     int w_pad = w + 2 * PAD;
     if (w <= MASK) {  // no wavefront for very narrow grids: raster order
         int k = 0;
@@ -773,22 +784,13 @@ void wavefront_walk(int h, int w, F&& fn) {
             for (int c = 0; c < w; ++c) fn((r + PAD) * w_pad + PAD + c, k++);
         return;
     }
-    int max_order = w - 1 + (h - 1) * (MASK + 1);
-    for (int i = 0; i <= max_order; ++i) {
-        int sy, sx;
-        if (i < w) {
-            sy = 0;
-            sx = i;
-        } else {
-            sy = (i - w) / (MASK + 1) + 1;
-            sx = w - (MASK + 1) + (i - w) % (MASK + 1);
-        }
-        for (int t = 0;; ++t) {
-            int y = sy + t;
-            int x = sx - (MASK + 1) * t;
-            if (y >= h || x < 0) break;
-            fn((y + PAD) * w_pad + PAD + x, i);
-        }
+    int max_order = w - 1 + (h - 1) * step;
+    for (int d = 0; d <= max_order; ++d) {
+        int y_lo = d >= w ? (d - w) / step + 1 : 0;
+        int y_hi = d / step;
+        if (y_hi > h - 1) y_hi = h - 1;
+        for (int y = y_lo; y <= y_hi; ++y)
+            fn((y + PAD) * w_pad + PAD + (d - step * y), d);
     }
 }
 
@@ -996,7 +998,8 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
     std::vector<int32_t> order;
     order.reserve(size_t(h) * w);
     std::vector<int32_t> wf_start;
-    wavefront_walk(h, w, [&](int pos, int wf) {
+    const int wf_step = model == 1 ? tpu_wavefront_step(w) : MASK + 1;
+    wavefront_walk(h, w, wf_step, [&](int pos, int wf) {
         while (int(wf_start.size()) <= wf) wf_start.push_back(int32_t(order.size()));
         order.push_back(int32_t(pos));
     });
@@ -1194,6 +1197,7 @@ static int32_t code_grid_impl(void** coders, int32_t n_streams, int32_t is_encod
         size_t n = order.size();
         std::vector<int64_t> mu_v(n), ls_v(n);
 #ifdef _OPENMP
+        g_scale_cache.get(0);  // size the shared slot table before the region
         #pragma omp parallel num_threads(n_threads)
         {
             std::vector<double> Xp(size_t(dim) * BCAP), outp(size_t(2) * BCAP);

@@ -5,9 +5,12 @@ The whole decode -- fixed-point ARM context prediction, integer Laplace CDF,
 128 range-coder streams -- runs inside ONE kernel, one wavefront per loop
 iteration:
 
-  * SHEARED layout: pixel (y, x) lives at row d = x + 10*y, lane y mod 128.
-    A wavefront IS a row, and every 9x9 causal tap becomes a STATIC
-    (row-offset, lane-roll) pair -- the only data movement TPU lanes can do.
+  * SHEARED layout: pixel (y, x) lives at row d = x + step*y, lane y mod 128
+    (step = tpu_wavefront_step(w) = max(5, ceil(w/128)) -- steep enough for
+    9x9 causality, shallow enough that a wavefront spans <= 128 rows and
+    fills every lane). A wavefront IS a row, and every causal tap becomes a
+    STATIC (row-offset, lane-roll) pair -- the only data movement TPU lanes
+    can do.
   * streams are keyed by row (stream = y mod 128 = lane), so the 128
     range-decoder states never cross lanes.
   * G INDEPENDENT GRIDS (same shape + arch, e.g. the same pyramid level of G
@@ -55,10 +58,24 @@ from coolchic_tpu.core.constants import (
 )
 
 MASK = 9
-STEP = MASK + 1  # wavefront row step
 LANES = 128
-PAD_D = 45  # max |row offset| of a causal tap is |dx + 10*dy| <= 44
-PAD_TAIL = 5  # the 49-row tap block reads up to d + 4
+PAD_TAIL = 5  # the tap block reads up to d + 4
+
+
+def tpu_wavefront_step(w: int) -> int:
+    """Normative wavefront step of the `tpu` profile (must match the C++
+    tpu_wavefront_step): pixel (y, x) belongs to wavefront d = x + step * y.
+    Causality of the 9x9 mask needs step >= 5 (a dy = -1 tap reaches
+    dx = +4); the 128-lane decode needs the row span ceil(w / step) <= 128.
+    Smaller steps mean fewer serial wavefronts AND fuller lanes: at
+    512x768/step 6 a wavefront spans 128 rows (vs 77 at the reference's
+    step 10) and the chain is 3834 steps (vs 5878)."""
+    return max(5, -(-w // 128))
+
+
+def _off_max(step: int) -> int:
+    """Max |row offset| of a causal tap: |dx + step*dy| <= 4 + 4*step."""
+    return 4 + 4 * step
 
 # VMEM budget for choosing the grid-batch size G (the v5e has ~128 MB; leave
 # headroom for spills, the words buffer and double-buffered loads).
@@ -182,12 +199,15 @@ def _left_cum(s, mu_fp, slope):
 # The kernel.
 # ---------------------------------------------------------------------------
 def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
-                 n_trunk: int, R: int, D: int, G: int):
+                 n_trunk: int, R: int, D: int, G: int, step: int):
     """dims: per-trunk-layer (in, out); taps: ((dy, dx), ...) spatial taps."""
     from jax.experimental import pallas as pl
 
     n_spatial = len(taps)
     dim = n_spatial + n_ifce
+    STEP = step
+    OFFMAX = _off_max(step)
+    PAD_D = OFFMAX + 1
 
     def kernel(words_ref, wtr_ref, btr_ref, stw_ref, stb_ref, ifce_ref, s_ref):
         lane = jax.lax.broadcasted_iota(_I32, (G, LANES), 1)
@@ -213,17 +233,17 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
             x = d - STEP * y
 
             # ---- spatial context taps. ONE dynamic block read covers every
-            # tap's row (offsets dx + 10*dy are in [-44, 4]); each tap is
-            # then a STATIC row of the (per-dy rolled) block.
+            # tap's row (offsets dx + step*dy are in [-OFFMAX, -1]); each tap
+            # is then a STATIC row of the (per-dy rolled) block.
             from jax.experimental.pallas import tpu as pltpu
 
             if "taps" in _ABLATE:
                 ctx = [jnp.zeros((G, LANES), _I32) for _ in range(dim)]
             else:
-                block = s_ref[pl.ds(d + PAD_D - 44, 49), :, :]
+                block = s_ref[pl.ds(d + PAD_D - OFFMAX, OFFMAX + 5), :, :]
                 ctx = []
                 for (dy, dx) in taps:
-                    off = 44 + dx + STEP * dy
+                    off = OFFMAX + dx + STEP * dy
                     row = block[off]  # [G, LANES]
                     if dy != 0:
                         row = pltpu.roll(row, -dy, 1)
@@ -391,9 +411,11 @@ def _build(h: int, w: int, taps: tuple, n_ifce: int, dims: tuple, R: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    D = (w - 1) + (h - 1) * STEP + 1
+    step = tpu_wavefront_step(w)
+    PAD_D = _off_max(step) + 1
+    D = (w - 1) + (h - 1) * step + 1
     n_trunk = len(dims)
-    kernel = _make_kernel(h, w, dims, taps, n_ifce, n_trunk, R, D, G)
+    kernel = _make_kernel(h, w, dims, taps, n_ifce, n_trunk, R, D, G, step)
 
     n_w = sum(i * o for i, o in dims)
     n_b = sum(o for _, o in dims)
@@ -430,13 +452,25 @@ def _build(h: int, w: int, taps: tuple, n_ifce: int, dims: tuple, R: int,
     return run, D
 
 
-def grid_batch_limit(h: int, w: int, n_ifce: int) -> int:
+def words_bucket(max_words: int) -> int:
+    """Power-of-two row count of the words buffer for the longest stream in
+    a batch (the buckets bound the number of compiled kernel variants)."""
+    R = 64
+    while R < max_words:
+        R *= 2
+    return R
+
+
+def grid_batch_limit(h: int, w: int, n_ifce: int, max_words: int = 2048) -> int:
     """Largest power-of-two grid batch G (<= 8) whose sheared symbol store +
-    IFCE context + word buffers fit the VMEM budget."""
-    D = (w - 1) + (h - 1) * STEP + 1
-    per_grid = (D + PAD_D + PAD_TAIL) * LANES * 4          # symbol store
+    IFCE context + word buffers fit the VMEM budget. max_words must be the
+    longest per-stream word count across the batch (the words buffer is
+    bucketed to the next power of two above it)."""
+    step = tpu_wavefront_step(w)
+    D = (w - 1) + (h - 1) * step + 1
+    per_grid = (D + _off_max(step) + 1 + PAD_TAIL) * LANES * 4  # symbol store
     per_grid += D * max(n_ifce, 1) * LANES * 4             # ifce context
-    per_grid += 2048 * LANES * 4                           # words (R <= 2048)
+    per_grid += words_bucket(max_words) * LANES * 4        # words
     g = 8
     while g > 1 and g * per_grid > VMEM_BUDGET_BYTES:
         g //= 2
@@ -478,9 +512,7 @@ def decode_grids_pallas(jobs: list[dict], h: int, w: int,
     max_words = 2
     for job in jobs:
         max_words = max(max_words, max(len(ws) for ws in job["words"]))
-    R = 64  # power-of-two bucket bounds the number of compiled variants
-    while R < max_words:
-        R *= 2
+    R = words_bucket(max_words)
     words = np.zeros((R, G, LANES), dtype=np.uint32)
     wtr = np.zeros((G, n_w), dtype=np.int32)
     btr = np.zeros((G, n_b), dtype=np.int32)
@@ -489,10 +521,12 @@ def decode_grids_pallas(jobs: list[dict], h: int, w: int,
 
     taps = _tap_list(ctx_idx)
     run, D = _build(h, w, taps, n_ifce, dims, R, G, interpret)
+    step = tpu_wavefront_step(w)
+    PAD_D = _off_max(step) + 1
 
     ifce_shear = np.zeros((D, max(n_ifce, 1), G, LANES), dtype=np.int32)
     ys, xs = np.divmod(np.arange(h * w), w)
-    d_of = xs + STEP * ys
+    d_of = xs + step * ys
     lane_of = ys % LANES
 
     for g, job in enumerate(jobs):

@@ -106,7 +106,8 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
             print(f"frame {frame.display_order}: resuming from {ckpt_path}", flush=True)
         params, fcfg, nn_side_info = load_frame_encoder(ckpt_path)
         return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
-                               fdata, workdir, is_image, verbose, profile=profile)
+                               fdata, workdir, is_image, verbose, profile=profile,
+                               lmbda=preset.lmbda)
 
     # Decoded references from the workdir.
     refs_data = []
@@ -196,13 +197,12 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
     refs_arg = refs_dense if frame.frame_type != "I" else None
     if preset.warmup.phases:
         # The vmapped warm-up multiplies every activation by the candidate
-        # count; past ~1.5 Mpix-equivalents the remote TPU worker dies
-        # (observed at 5 x 512x768 on v5e lite), so large frames fall back to
-        # the reference's sequential tournament.
-        batched_px_budget = int(os.environ.get("COOLCHIC_WARMUP_BATCH_PX", 1_500_000))
-        batched_ok = fdata.n_pixels * len(candidates) <= batched_px_budget
+        # count; warmup_batched chunks the candidate batch to the
+        # COOLCHIC_WARMUP_BATCH_PX activation budget (pixels x candidates),
+        # so any frame size runs batched (the round-1 sequential fallback is
+        # gone -- chunking replaces it).
         wu = warmup_batched if (jax.default_backend() != "cpu"
-                                and len(candidates) > 1 and batched_ok) else warmup
+                                and len(candidates) > 1) else warmup
         params = wu(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
                     key=key, monitor=monitor, verbose=verbose)
     else:
@@ -255,13 +255,14 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
 
     save_frame_encoder(ckpt_path, params, fcfg, nn_side_info)
     return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
-                           fdata, workdir, is_image, verbose, profile=profile)
+                           fdata, workdir, is_image, verbose, profile=profile,
+                           lmbda=preset.lmbda)
 
 
 def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dict,
                     fcfg: FrameConfig, nn_side_info: dict, fdata: FrameData,
                     workdir: str, is_image: bool, verbose: bool,
-                    profile: str = "ref") -> dict:
+                    profile: str = "ref", lmbda: float = 0.0) -> dict:
     """Bitstream write + decoded-frame save + final logs (shared between the
     fresh-encode and resume-from-checkpoint paths)."""
     from coolchic_tpu.models.frame import frame_cr_grids as _cr, frame_encoder_forward
@@ -295,9 +296,27 @@ def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dic
 
     write_frame_results(
         os.path.join(workdir, f"{frame.display_order:04d}-results_encoder.tsv"),
-        seq_name=frame.seq_name or os.path.basename(workdir), lmbda=0.0,
+        seq_name=frame.seq_name or os.path.basename(workdir), lmbda=lmbda,
         n_pixels=n_pixels, logs=logs, rate_bpp=8 * len(payload) / n_pixels,
         extra={"frame_type": fcfg.frame_type, "n_bytes": len(payload)})
+
+    # Detailed per-frame logs (reference FrameEncoderLogs, training/test.py):
+    # per-grid bpp, per-module NN bpp, MAC/px, alpha/beta stats -- one wide
+    # TSV row next to the summary TSV.
+    from coolchic_tpu.train.logs import detailed_test
+
+    detailed = detailed_test(params, fcfg, target, refs=refs_arg, cr=cr,
+                             lmbda=lmbda, nn_side_info=nn_side_info)
+    detailed["seq_name"] = frame.seq_name or os.path.basename(workdir)
+    detailed["lmbda"] = lmbda
+    detailed["frame_type"] = fcfg.frame_type
+    detailed["n_bytes"] = len(payload)
+    dpath = os.path.join(workdir, f"{frame.display_order:04d}-logs_detailed.tsv")
+    with open(dpath, "w") as f:
+        keys = list(detailed)
+        f.write("\t".join(keys) + "\n")
+        f.write("\t".join(f"{detailed[k]:.6f}" if isinstance(detailed[k], float)
+                          else str(detailed[k]) for k in keys) + "\n")
 
     if verbose:
         print(f"frame {fcfg.frame_type}{frame.display_order}: "
@@ -305,7 +324,7 @@ def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dic
               f"({len(payload)} bytes)", flush=True)
 
     return {"payload": payload, "logs": logs, "decoded": decoded,
-            "n_bytes": len(payload)}
+            "n_bytes": len(payload), "fcfg": fcfg, "detailed": detailed}
 
 
 def frame_cfg_args(frame_type: str, depth: int) -> tuple[dict, dict]:

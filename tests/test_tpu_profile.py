@@ -1,9 +1,9 @@
 """`tpu` bitstream profile (docs/tpu_profile.md): parallel-stream latents.
 
 The profile re-partitions each grid's symbols over L interleaved range-coder
-streams (pixel j of wavefront k -> stream j % L) so decoding vectorizes over
-lanes. Probabilities, fixed-point ARM and the quantized-Laplace model are
-unchanged, so the latents must round-trip exactly.
+streams, keyed by ROW (the pixel at row y -> stream y % L), so decoding
+vectorizes over lanes. Probabilities, fixed-point ARM and the integer
+probability model are unchanged, so the latents must round-trip exactly.
 """
 
 import os
@@ -109,3 +109,17 @@ def test_tpu_profile_batched_image_decode(tmp_path):
         want = decode_video(path)["0"]
         np.testing.assert_array_equal(np.asarray(got.data),
                                       np.asarray(want.data))
+
+
+def test_wavefront_step_formula():
+    """The normative tpu-profile wavefront step (pinned; the C++ and Pallas
+    implementations must agree -- the round-trip tests above exercise that)."""
+    from coolchic_tpu.ops.pallas_decode import tpu_wavefront_step
+
+    assert tpu_wavefront_step(768) == 6
+    assert tpu_wavefront_step(384) == 5
+    assert tpu_wavefront_step(128) == 5
+    assert tpu_wavefront_step(10) == 5
+    assert tpu_wavefront_step(1270) == 10
+    assert tpu_wavefront_step(640) == 5
+    assert tpu_wavefront_step(641) == 6

@@ -74,18 +74,14 @@ def encode_image(frame: FrameData, cfgs: dict[str, CoolChicConfig], preset: Pres
                   for i in range(n_candidates)]
     if preset.warmup.phases:
         t0 = time.time()
-        import os as _os
-
         import jax as _jax
 
-        # On accelerators, run all candidates as one vmapped program -- but
-        # past ~1.5 Mpix-equivalents the remote TPU worker dies (observed at
-        # 5 x 512x768 on v5e lite), so large frames run the reference's
-        # sequential tournament instead.
-        budget = int(_os.environ.get("COOLCHIC_WARMUP_BATCH_PX", 1_500_000))
-        batched_ok = frame.n_pixels * len(candidates) <= budget
+        # On accelerators, run all candidates as one vmapped program; the
+        # candidate batch is chunked to the COOLCHIC_WARMUP_BATCH_PX
+        # activation budget inside warmup_batched, so any frame size runs
+        # batched.
         wu = warmup_batched if (_jax.default_backend() != "cpu"
-                                and len(candidates) > 1 and batched_ok) else warmup
+                                and len(candidates) > 1) else warmup
         params = wu(candidates, preset, fcfg, target, cr=cr, key=key,
                     monitor=monitor, verbose=verbose)
         if verbose:

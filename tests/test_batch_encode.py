@@ -6,6 +6,7 @@ each bitstream must decode back with the encoder-reported PSNR.
 """
 
 import math
+import pytest
 
 import jax
 import numpy as np
@@ -13,6 +14,8 @@ import numpy as np
 from coolchic_tpu.io.images import read_png
 from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
 from tests.test_e2e import FastPreset
+
+pytestmark = pytest.mark.slow
 
 DATA = "tests/data"
 

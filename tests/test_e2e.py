@@ -17,6 +17,8 @@ from coolchic_tpu.utils.parsecli import (
     coolchic_config_from_args,
 )
 
+pytestmark = pytest.mark.slow
+
 DATA = "tests/data"
 
 

@@ -3,6 +3,7 @@ tiny schedule, write one bitstream, decode both frames back and require
 encoder/decoder agreement (the video half of the reference sanity check)."""
 
 import math
+import pytest
 import os
 
 import numpy as np
@@ -14,6 +15,8 @@ from coolchic_tpu.utils.parsecli import (
     MOTION_OPERATING_POINTS,
     RESIDUE_OPERATING_POINTS,
 )
+
+pytestmark = pytest.mark.slow
 
 VIDEO = "tests/data/D-BQSquare-3frames_224x128_60p_yuv420_8b.yuv"
 

@@ -3,6 +3,7 @@ synthesis inputs, regenerated deterministically by the decoder), Wasserstein
 + MSE mixed distortion in training, full bitstream round-trip."""
 
 import math
+import pytest
 
 import numpy as np
 
@@ -10,6 +11,8 @@ from coolchic_tpu.io.framedata import FrameData
 from coolchic_tpu.io.images import read_png
 from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
 from tests.test_e2e import FastPreset
+
+pytestmark = pytest.mark.slow
 
 
 def test_e2e_wasserstein_cr(tmp_path):

@@ -5,6 +5,7 @@ Reference parity: coolchic/bitstream/decode.py.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -81,6 +82,39 @@ def _finish_frame(decoded: np.ndarray, bitdepth: int,
     return FrameData(bitdepth=bitdepth, frame_data_type=frame_data_type, data=decoded)
 
 
+def _decode_items_batched(items: list) -> list:
+    """Route a batch of tpu-profile cool-chic payloads to the fully
+    on-device decoder (bitstream/device_decode.py -- one jitted program per
+    architecture group, Pallas kernels + on-device IFCE + float tail), with
+    the host-orchestrated path (codec.decode_coolchic_batched) as fallback
+    for groups the device program does not cover (common randomness, mixed
+    architectures within a group, very wide grids, certificate failures).
+    Set COOLCHIC_DEVICE_DECODE=0 to force the host path."""
+    from coolchic_tpu.bitstream.codec import decode_coolchic_batched
+    from coolchic_tpu.bitstream.device_decode import (
+        _group_key,
+        decode_images_device,
+    )
+
+    if os.environ.get("COOLCHIC_DEVICE_DECODE", "1") == "0":
+        return decode_coolchic_batched(items)
+
+    groups: dict[tuple, list[int]] = {}
+    for i, (header, _, _) in enumerate(items):
+        groups.setdefault(_group_key(header.to_config()), []).append(i)
+
+    outputs: list = [None] * len(items)
+    for idxs in groups.values():
+        sub = [items[i] for i in idxs]
+        try:
+            res = decode_images_device(sub)
+        except ValueError:
+            res = decode_coolchic_batched(sub)
+        for i, r in zip(idxs, res):
+            outputs[i] = r
+    return outputs
+
+
 def decode_images(bitstream_paths: list[str],
                   decoded_paths: Optional[list[str]] = None
                   ) -> list[FrameData]:
@@ -92,7 +126,6 @@ def decode_images(bitstream_paths: list[str],
     an image set (e.g. the 24-image Kodak sweep) on one chip. The reference
     has no equivalent; its decoder is strictly one process per bitstream.
     """
-    from coolchic_tpu.bitstream.codec import decode_coolchic_batched
     from coolchic_tpu.bitstream.encode import TPU_PROFILE_MAGIC
 
     items, metas = [], []
@@ -116,7 +149,7 @@ def decode_images(bitstream_paths: list[str],
         items.append((cc_header, bytes_nn, bytes_latent))
         metas.append(frame_header)
 
-    outputs = decode_coolchic_batched(items)
+    outputs = _decode_items_batched(items)
 
     frames = []
     for i, (frame_header, (raw_out, _)) in enumerate(zip(metas, outputs)):

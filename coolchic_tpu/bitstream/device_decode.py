@@ -1,0 +1,493 @@
+"""Fully on-device batched decode of `tpu`-profile bitstreams.
+
+Why this module exists: the host-orchestrated path (codec.decode_coolchic_batched)
+ships a dense sheared IFCE context (~12 MB per 512x768 grid) to the chip and
+pays one dispatch PER pyramid level -- on a tunneled TPU that is 30-40 ms of
+latency plus tens of ms of transfer per call, which completely buries the
+~3 ms/grid the Pallas kernel actually takes. Here the whole decode of a batch
+of same-architecture images is ONE jitted device program:
+
+  host:   parse headers, exp-Golomb NN decode, range-decode the tiny grids
+          (n_streams != 128 -- microseconds of C++), upload stream words.
+  device: for each 128-stream level (coarse -> fine):
+            IFCE context (int32 fixed point, certified) from the already
+            decoded coarser grids -> shear to the kernel layout -> Pallas
+            wavefront range decode -> de-shear;
+          then the float tail (learned upsampling + synthesis + rescale),
+          vmapped over the image batch.
+
+Only the stream words go host->device (~100 KB/image) and only the final
+images need to come back; everything in between stays in HBM.
+
+Bit-exactness: the Pallas kernel is the proven-exact one (ops/pallas_decode);
+the on-device IFCE forward is int32 with an encoder-grade overflow
+certificate checked on the host before routing (int32 wraparound is exact
+whenever the true value fits -- the certificate guarantees it), so the whole
+integer path is bit-identical to the host C++ decoder by construction and
+pinned by tests/test_device_decode.py.
+
+Reference parity: coolchic/bitstream/component/coolchic.py:29-207 (the
+decode loop this replaces at serving scale).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coolchic_tpu.bitstream import rangecoder as rc
+from coolchic_tpu.bitstream.codec import (
+    _arm8_in_bound,
+    _ifce_context_for_grid,
+    _ifce_fixed_params,
+    _main_arm_params,
+)
+from coolchic_tpu.bitstream.headers import CoolChicHeader
+from coolchic_tpu.bitstream.nncodec import decode_network
+from coolchic_tpu.bitstream.tpu_cdf import arm8_bounds_ok
+from coolchic_tpu.core.arch import CoolChicConfig
+from coolchic_tpu.core.constants import non_zero_pixel_ctx_index
+from coolchic_tpu.models.arm import ifce_arm_index
+from coolchic_tpu.models.synthesis import synthesis_apply_batched
+from coolchic_tpu.models.upsampling import upsampling_apply
+from coolchic_tpu.ops import pallas_decode as pdk
+from coolchic_tpu.ops.resize import interpolate
+
+LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# Static shear / de-shear index maps (host numpy, cached per grid shape).
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=64)
+def _shear_maps(h: int, w: int) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Returns (shear_src [D*128] int32 with h*w as the zero-pad sentinel,
+    deshear_src [h*w] int32 into the flattened [Dp*128] kernel output,
+    D, PAD_D)."""
+    step = pdk.tpu_wavefront_step(w)
+    D = (w - 1) + (h - 1) * step + 1
+    PAD_D = pdk._off_max(step) + 1
+
+    d = np.arange(D)[:, None]                      # [D, 1]
+    lane = np.arange(LANES)[None, :]               # [1, 128]
+    y_lo = np.maximum(0, (d - w + step) // step)
+    y_hi = np.minimum(h - 1, d // step)
+    y = y_lo + ((lane - y_lo) % LANES)
+    x = d - step * y
+    valid = y <= y_hi
+    src = np.where(valid, y * w + x, h * w).astype(np.int32)
+
+    ys, xs = np.divmod(np.arange(h * w), w)
+    d_of = xs + step * ys
+    deshear = ((d_of + PAD_D) * LANES + (ys % LANES)).astype(np.int32)
+    return src.reshape(-1), deshear, D, PAD_D
+
+
+@lru_cache(maxsize=64)
+def _shear_maps_coarse(h: int, w: int, hc: int, wc: int) -> np.ndarray:
+    """Shear map that FUSES the nearest-x2 IFCE upsample: slot (d, lane) of
+    the [h, w] grid reads COARSE pixel (y//2, x//2) of the [hc, wc] context
+    (sentinel hc*wc for invalid slots). Exactly the host's
+    _nearest_x2_int + crop semantics, with 4x less gathered data."""
+    assert h <= 2 * hc and w <= 2 * wc
+    step = pdk.tpu_wavefront_step(w)
+    D = (w - 1) + (h - 1) * step + 1
+    d = np.arange(D)[:, None]
+    lane = np.arange(LANES)[None, :]
+    y_lo = np.maximum(0, (d - w + step) // step)
+    y_hi = np.minimum(h - 1, d // step)
+    y = y_lo + ((lane - y_lo) % LANES)
+    x = d - step * y
+    valid = y <= y_hi
+    return np.where(valid, (y // 2) * wc + (x // 2), hc * wc
+                    ).astype(np.int32).reshape(-1)
+
+
+def _pack_int16_pairs(ctx: jnp.ndarray) -> jnp.ndarray:
+    """[..., n_ifce] int32 (certified |v| < 2^15) -> [..., ceil(n/2)] int32
+    with feature 2k in the low half-word and 2k+1 in the high half-word."""
+    n = ctx.shape[-1]
+    if n % 2:
+        ctx = jnp.concatenate(
+            [ctx, jnp.zeros(ctx.shape[:-1] + (1,), jnp.int32)], axis=-1)
+    lo = ctx[..., 0::2] & jnp.int32(0xFFFF)
+    hi = ctx[..., 1::2] << 16
+    return hi | lo
+
+
+def _shear_ifce(ctx: jnp.ndarray, h: int, w: int, hc: int, wc: int,
+                packed: bool) -> jnp.ndarray:
+    """Coarse context [G, hc*wc, n_ifce] int32 -> kernel layout
+    [D, rows, G, 128] (rows = n_ifce, or ceil(n_ifce/2) int16-packed)."""
+    src = _shear_maps_coarse(h, w, hc, wc)
+    _, _, D, _ = _shear_maps(h, w)
+    if packed:
+        ctx = _pack_int16_pairs(ctx)
+    G, _, rows = ctx.shape
+    padded = jnp.concatenate([ctx, jnp.zeros((G, 1, rows), jnp.int32)], axis=1)
+    sheared = jnp.take(padded, jnp.asarray(src), axis=1)     # [G, D*128, rows]
+    sheared = sheared.reshape(G, D, LANES, rows)
+    return jnp.transpose(sheared, (1, 3, 0, 2))
+
+
+def _deshear(s_sheared: jnp.ndarray, h: int, w: int, n: int) -> jnp.ndarray:
+    """Kernel output [Dp, G, 128] -> [n, h, w] int32 (first n batch rows)."""
+    _, deshear, _, _ = _shear_maps(h, w)
+    G = s_sheared.shape[1]
+    flat = jnp.transpose(s_sheared, (1, 0, 2)).reshape(G, -1)
+    return jnp.take(flat, jnp.asarray(deshear), axis=1)[:n].reshape(n, h, w)
+
+
+# ---------------------------------------------------------------------------
+# On-device int32 IFCE context (exact: certified against overflow on host).
+# ---------------------------------------------------------------------------
+def _nearest_x2(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.repeat(jnp.repeat(x, 2, axis=-2), 2, axis=-1)
+
+
+def _ifce_ctx_device(decoded: list[jnp.ndarray], level: int, cfg: CoolChicConfig,
+                     ifce_w: jnp.ndarray, ifce_b: jnp.ndarray
+                     ) -> tuple[jnp.ndarray, int, int]:
+    """IFCE context for `level`, AT THE COARSE RESOLUTION of level+1 (the
+    nearest-x2 upsample to the grid's own resolution is fused into the shear
+    gather). decoded = [level+1, level+2, ...] each [G, h, w] int32.
+    ifce_w [G, c_in, n_out] X.8+q int32, ifce_b [G, n_out] X.16+q.
+    Returns (ctx [G, h*w, n_ifce] int32 X.8, h, w). Mirrors
+    codec._ifce_context_for_grid (model=1) in pure device ops."""
+    n_ifce = cfg.output_feature_ifce
+
+    # nearest-upsampled stack at the resolution of level+1 (largest decoded)
+    h, w = decoded[0].shape[-2:]
+    acc = None
+    for g in reversed(decoded):                    # coarsest first
+        if acc is None:
+            acc = g[:, None]
+        else:
+            if acc.shape[-2:] != g.shape[-2:]:
+                up = _nearest_x2(acc)[:, :, : g.shape[-2], : g.shape[-1]]
+            else:
+                up = acc
+            acc = jnp.concatenate([g[:, None], up], axis=1)
+    ups = acc                                      # [G, c, h, w]
+    G, c = ups.shape[:2]
+
+    # single-layer X.8 ARM: y = (x << 8) @ W + b >> 8 (int32 exact, certified)
+    x = ups.reshape(G, c, h * w) << 8
+    outs = []
+    for o in range(n_ifce):
+        acc_o = ifce_b[:, o:o + 1]                 # [G, 1]
+        for i in range(c):
+            acc_o = acc_o + ifce_w[:, i, o:o + 1] * x[:, i]
+        outs.append(acc_o >> 8)
+    ctx = jnp.stack(outs, axis=2)                  # [G, h*w, n_ifce]
+    return ctx, h, w
+
+
+# ---------------------------------------------------------------------------
+# The jitted whole-batch decode program.
+# ---------------------------------------------------------------------------
+@lru_cache(maxsize=16)
+def _make_decode_fn(cfg: CoolChicConfig, device_levels: tuple[int, ...],
+                    r_per_level: tuple[int, ...], G: int, dims: tuple,
+                    n_spatial: int, interpret: bool,
+                    packed_per_level: tuple[bool, ...] = ()):
+    """Builds fn(words_per_level, arm..., ifce params, host_grids, ups, syn)
+    -> (raw_out [G, C, H, W] f32, device-decoded grids). All shapes static."""
+    ctx_idx = non_zero_pixel_ctx_index(n_spatial)
+    taps = pdk._tap_list(ctx_idx)
+    n_ifce = cfg.output_feature_ifce if cfg.flag_ifce else 0
+
+    def fn(words, wtr, btr, stw, stb, ifce_ws, ifce_bs, host_grids, ups_p, syn_p):
+        # host_grids: dict level -> [G, h, w] int32 (levels NOT decoded here)
+        decoded = dict(host_grids)
+        for li, level in enumerate(device_levels):  # coarse -> fine
+            h_i, w_i = cfg.size_per_latent[level]
+            packed = packed_per_level[li] if packed_per_level else False
+            rows = max((n_ifce + 1) // 2 if packed else n_ifce, 1)
+            finer = [decoded[l] for l in range(level + 1, cfg.n_latent_grids)]
+            if n_ifce > 0 and cfg.input_features_ifce[level] > 0:
+                ctx, hc, wc = _ifce_ctx_device(finer, level, cfg,
+                                               ifce_ws[level], ifce_bs[level])
+                sheared = _shear_ifce(ctx, h_i, w_i, hc, wc, packed)
+            else:
+                _, _, D, _ = _shear_maps(h_i, w_i)
+                sheared = jnp.zeros((D, rows, G, LANES), jnp.int32)
+
+            # kernel calls, chunked to the VMEM-fit batch size
+            limit = pdk.grid_batch_limit(h_i, w_i, n_ifce, r_per_level[li],
+                                         ifce_packed=packed)
+            outs = []
+            for g0 in range(0, G, limit):
+                gn = min(limit, G - g0)
+                gb = 1
+                while gb < gn:
+                    gb *= 2
+                run, _ = pdk._build(h_i, w_i, taps, n_ifce, dims,
+                                    r_per_level[li], gb, interpret, packed)
+                sl = lambda a, ax: jax.lax.slice_in_dim(a, g0, g0 + gn, axis=ax)
+                pad = lambda a, ax: jnp.concatenate(
+                    [sl(a, ax)] + [jax.lax.slice_in_dim(a, g0, g0 + 1, axis=ax)]
+                    * (gb - gn), axis=ax) if gb > gn else sl(a, ax)
+                s_out = run(pad(words[li], 1), pad(wtr, 0), pad(btr, 0),
+                            pad(stw, 0), pad(stb, 0), pad(sheared, 2))
+                outs.append(_deshear(s_out, h_i, w_i, gn))
+            decoded[level] = jnp.concatenate(outs, axis=0)
+
+        # float tail, vmapped over the image batch
+        syn_grids = [decoded[l].astype(jnp.float32)
+                     for l in range(cfg.n_latent_grids)
+                     if not cfg.flag_is_hyperlatent[l]]
+
+        def ups_one(up, *grids):
+            return upsampling_apply(up, list(grids), cfg.ups_k_size,
+                                    cfg.ups_preconcat_k_size, training=True)
+
+        dense = jax.vmap(ups_one)(ups_p, *syn_grids)          # [G, C, H, W]
+        # per-image weights as batched matmuls (NOT vmap(conv): that lowers
+        # to a grouped conv that wastes the MXU -- see synthesis.py)
+        syn_out = synthesis_apply_batched(syn_p, cfg, dense)
+        raw = jax.vmap(lambda s: interpolate(
+            s[None], cfg.img_size, cfg.final_upsampling_type)[0])(syn_out)
+        return raw, [decoded[l] for l in range(cfg.n_latent_grids)]
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Host-side orchestration.
+# ---------------------------------------------------------------------------
+def _parse_level_blocks(cfg: CoolChicConfig, lat: bytes) -> list[dict]:
+    """Split one latent payload into per-level stream blocks
+    (coarse->fine order as written)."""
+    blocks = {}
+    cursor = 0
+    for level in range(cfg.n_latent_grids - 1, -1, -1):
+        n_streams = lat[cursor]
+        cursor += 1
+        counts = np.frombuffer(lat, dtype="<u4", offset=cursor, count=n_streams)
+        cursor += 4 * n_streams
+        words = []
+        for cnt in counts:
+            words.append(np.frombuffer(lat, dtype=np.uint32, offset=cursor,
+                                       count=int(cnt)).copy())
+            cursor += 4 * int(cnt)
+        blocks[level] = {"n_streams": n_streams, "words": words}
+    return blocks
+
+
+def _group_key(cfg: CoolChicConfig):
+    return (cfg.size_per_latent, cfg.spatial_context_arm, cfg.n_hidden_layers_arm,
+            cfg.total_context_arm, cfg.linear_stabiliser_arm, cfg.flag_ifce,
+            cfg.output_feature_ifce, cfg.input_features_ifce,
+            cfg.ups_k_size, cfg.ups_preconcat_k_size, cfg.parsed_synthesis,
+            cfg.img_size, cfg.final_upsampling_type, cfg.flag_is_hyperlatent,
+            cfg.flag_common_randomness)
+
+
+class DeviceBatch:
+    """Prepared device decode of a group of same-architecture images.
+
+    Split into prepare (host work + h2d) / run (one jitted device program) /
+    fetch (d2h) so benchmarks can time the device program alone."""
+
+    def __init__(self, states: list[dict], interpret: bool):
+        self.states = states
+        st0 = states[0]
+        cfg: CoolChicConfig = st0["cfg"]
+        self.cfg = cfg
+        G = len(states)
+        self.G = G
+
+        # which levels the kernel covers (128 streams, width in range)
+        self.device_levels = []
+        for level in range(cfg.n_latent_grids - 1, -1, -1):
+            w_i = cfg.size_per_latent[level][1]
+            n_str = st0["blocks"][level]["n_streams"]
+            if n_str == LANES and 9 < w_i <= 1270:
+                self.device_levels.append(level)
+        self.device_levels = tuple(self.device_levels)
+        # Host levels decode BEFORE the device program runs, so every device
+        # level must be finer than every host level (true for all real
+        # configs: stream count grows with grid size). A >1270-wide level 0
+        # with a kernel-eligible level 1 would violate it -> host path.
+        if set(self.device_levels) != set(range(len(self.device_levels))):
+            raise ValueError("non-contiguous device levels; host path")
+
+        # host-decode everything below the kernel threshold (tiny grids)
+        for s in states:
+            s["decoded"] = {}
+            for level in range(cfg.n_latent_grids - 1, -1, -1):
+                if level in self.device_levels:
+                    continue
+                h_i, w_i = cfg.size_per_latent[level]
+                finer = [s["decoded"][l]
+                         for l in range(level + 1, cfg.n_latent_grids)]
+                ifce_ctx = _ifce_context_for_grid(
+                    s["nn"], cfg, s["header"], level, finer, h_i, w_i, model=1)
+                blk = s["blocks"][level]
+                decs = [rc.RangeDecoder(np.asarray(ws).tobytes())
+                        for ws in blk["words"]]
+                grid = rc.code_grid_streams(decs, False, h_i, w_i,
+                                            cfg.spatial_context_arm, ifce_ctx,
+                                            s["arm"], s["ctx_idx"], model=1)
+                s["decoded"][level] = grid
+
+        dims = tuple((int(wm.shape[0]), int(wm.shape[1]))
+                     for wm in st0["arm"]["trunk_weights"])
+        n_w = sum(i * o for i, o in dims)
+        n_b = sum(o for _, o in dims)
+        dim = dims[0][0]
+
+        # stream words per device level: [R, G, 128] u32
+        self.r_per_level = []
+        self.words = []
+        for level in self.device_levels:
+            max_words = 2
+            for s in states:
+                max_words = max(max_words,
+                                max(len(ws) for ws in s["blocks"][level]["words"]))
+            R = pdk.words_bucket(max_words)
+            arr = np.zeros((R, G, LANES), np.uint32)
+            for g, s in enumerate(states):
+                for j, ws in enumerate(s["blocks"][level]["words"]):
+                    arr[: len(ws), g, j] = ws
+            self.r_per_level.append(R)
+            self.words.append(arr)
+        self.r_per_level = tuple(self.r_per_level)
+
+        wtr = np.zeros((G, n_w), np.int32)
+        btr = np.zeros((G, n_b), np.int32)
+        stw = np.zeros((G, dim * 2), np.int32)
+        stb = np.zeros((G, 2), np.int32)
+        for g, s in enumerate(states):
+            a8 = s["arm"]
+            wtr[g] = np.concatenate([np.asarray(x, np.int32).reshape(-1)
+                                     for x in a8["trunk_weights"]])
+            btr[g] = np.concatenate([np.asarray(x, np.int32).reshape(-1)
+                                     for x in a8["trunk_biases"]])
+            stw[g] = np.asarray(a8["stab_weight"], np.int32).reshape(-1)
+            stb[g] = np.asarray(a8["stab_bias"], np.int32).reshape(-1)
+
+        # per-device-level IFCE fixed-point params, stacked over the batch,
+        # plus the int16 packing certificate: |ctx| <= (|b| + 64*2^8*sum|W|)
+        # >> 8 (+1 for the floor asymmetry of the arithmetic shift); when it
+        # fits a half-word for EVERY image, the sheared context is packed two
+        # features per int32 word and VMEM budget allows G=8 on big grids.
+        ifce_ws, ifce_bs = {}, {}
+        packed_per_level = []
+        for level in self.device_levels:
+            n_ifce = cfg.output_feature_ifce if cfg.flag_ifce else 0
+            if n_ifce == 0:
+                packed_per_level.append(False)
+                continue
+            if cfg.input_features_ifce[level] == 0:
+                packed_per_level.append(True)  # zeros context packs trivially
+                continue
+            per_g_w, per_g_b = [], []
+            fits16 = True
+            for s in states:
+                fp = _ifce_fixed_params(s["nn"], cfg, s["header"], level,
+                                        model=1)
+                per_g_w.append(np.asarray(fp["trunk_weights"][0], np.int32))
+                per_g_b.append(np.asarray(fp["trunk_biases"][0], np.int32))
+                w_abs = np.abs(per_g_w[-1].astype(np.float64))
+                b_abs = np.abs(per_g_b[-1].astype(np.float64))
+                bound = (b_abs + 64.0 * 256.0 * w_abs.sum(axis=0)) / 256.0 + 1.0
+                fits16 = fits16 and bool(bound.max() < 32768.0)
+            ifce_ws[level] = jnp.asarray(np.stack(per_g_w))
+            ifce_bs[level] = jnp.asarray(np.stack(per_g_b))
+            packed_per_level.append(fits16)
+        self.ifce_ws, self.ifce_bs = ifce_ws, ifce_bs
+        self.packed_per_level = tuple(packed_per_level)
+
+        # float-tail params stacked over the batch
+        ups_p = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                             *[s["jax_nn"]["upsampling"] for s in states])
+        syn_p = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                             *[s["jax_nn"]["synthesis"] for s in states])
+
+        host_grids = {}
+        for level in range(cfg.n_latent_grids):
+            if level in self.device_levels:
+                continue
+            host_grids[level] = jnp.asarray(np.stack(
+                [np.asarray(s["decoded"][level], np.int64).astype(np.int32)
+                 for s in states]))
+
+        self.args = (
+            tuple(jnp.asarray(w) for w in self.words),
+            jnp.asarray(wtr), jnp.asarray(btr), jnp.asarray(stw),
+            jnp.asarray(stb), ifce_ws, ifce_bs, host_grids, ups_p, syn_p)
+        self.fn = _make_decode_fn(cfg, self.device_levels, self.r_per_level, G,
+                                  dims, cfg.spatial_context_arm, interpret,
+                                  self.packed_per_level)
+
+    def run(self):
+        """One device program: all kernel levels + float tail. Returns
+        (raw [G, C, H, W] f32 device array, grids list of [G, h, w] device)."""
+        return self.fn(*self.args)
+
+
+def prepare_batch(items: list[tuple[CoolChicHeader, bytes, bytes]],
+                  interpret: Optional[bool] = None) -> DeviceBatch:
+    """items: (header, bytes_nn, bytes_latent) per image; all must share one
+    architecture/size group (ValueError otherwise)."""
+    from coolchic_tpu.bitstream.codec import _decoded_nn_to_jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    states = []
+    key0 = None
+    for header, bytes_nn, bytes_latent in items:
+        cfg = header.to_config()
+        key = _group_key(cfg)
+        if key0 is None:
+            key0 = key
+        elif key != key0:
+            raise ValueError("device batch requires one architecture group")
+        if cfg.flag_common_randomness:
+            raise ValueError("common-randomness decode takes the host path")
+        nn = decode_network(bytes_nn, cfg, header.nn_q_step_shift,
+                            header.nn_expgol_cnt, header.nn_n_bit_pad)
+        arm = _main_arm_params(nn, header, cfg, 1)
+        states.append({
+            "cfg": cfg, "header": header, "nn": nn, "arm": arm,
+            "ctx_idx": non_zero_pixel_ctx_index(cfg.spatial_context_arm),
+            "blocks": _parse_level_blocks(cfg, bytes_latent),
+            "jax_nn": _decoded_nn_to_jax(nn),
+        })
+
+    # int32 certificates: the main ARM against the actual IFCE magnitudes of
+    # every grid (computed on the host-decodable levels now; device levels
+    # use the encode-time certificate embedded in the routing rule), and the
+    # IFCE forward itself against raw symbol inputs.
+    for s in states:
+        cfg = s["cfg"]
+        if cfg.flag_ifce:
+            for level, arm_i in ifce_arm_index(cfg.input_features_ifce).items():
+                fp = _ifce_fixed_params(s["nn"], cfg, s["header"], level, model=1)
+                dim_in = fp["trunk_weights"][0].shape[0]
+                if not arm8_bounds_ok(fp, np.full(dim_in, 64.0 * 256.0)):
+                    raise ValueError("IFCE int32 certificate failed; host path")
+
+    return DeviceBatch(states, interpret)
+
+
+def decode_images_device(items: list[tuple[CoolChicHeader, bytes, bytes]]
+                         ) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """Drop-in equivalent of codec.decode_coolchic_batched for one
+    architecture group: returns [(raw_out [1, C, H, W] np, grids), ...]."""
+    batch = prepare_batch(items)
+    raw, grids = batch.run()
+    raw_np = np.asarray(jax.device_get(raw))
+    grids_np = [np.asarray(jax.device_get(g)) for g in grids]
+    out = []
+    for g in range(batch.G):
+        out.append((raw_np[g:g + 1],
+                    [gr[g].astype(np.int64) for gr in grids_np]))
+    return out

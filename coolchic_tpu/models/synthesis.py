@@ -82,3 +82,52 @@ def synthesis_apply(params: dict, cfg: CoolChicConfig, x: jnp.ndarray) -> jnp.nd
 
     ot = params["output_transform"]
     return conv2d_replicate(y, ot["weight"], ot["bias"], padding=0)
+
+
+def _conv_batched_weights(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                          k: int) -> jnp.ndarray:
+    """Conv2d with PER-IMAGE weights as k*k batched matmuls.
+
+    x [G, C_in, H, W], w [G, C_out, C_in, k, k], b [G, C_out]. vmapping
+    lax.conv over the weight axis lowers to a feature-grouped conv whose
+    tiny per-group channel count wastes the MXU (measured 535 ms for 8
+    512x768 hop syntheses); einsum keeps each tap a dense [C_out, C_in] x
+    [C_in, H*W] batched matmul (measured ~30x faster)."""
+    h, wd = x.shape[-2:]
+    if k > 1:
+        p = (k - 1) // 2
+        x = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode="edge")
+    out = None
+    for dy in range(k):
+        for dx in range(k):
+            xs = jax.lax.slice(x, (0, 0, dy, dx),
+                               (x.shape[0], x.shape[1], dy + h, dx + wd))
+            t = jnp.einsum("goi,gihw->gohw", w[:, :, :, dy, dx], xs)
+            out = t if out is None else out + t
+    return out + b[:, :, None, None]
+
+
+def synthesis_apply_batched(params: dict, cfg: CoolChicConfig,
+                            x: jnp.ndarray) -> jnp.ndarray:
+    """synthesis_apply for a batch of images with DIFFERENT (stacked)
+    parameters: params leaves carry a leading G axis, x is [G, C_in, H, W].
+    Bit-for-bit it differs from the unbatched path only in f32 summation
+    order (absorbed by the output bitdepth rounding)."""
+    y = x
+    for lay, (out_ft, k, mode, non_linearity) in zip(params["layers"],
+                                                     cfg.parsed_synthesis):
+        z = _conv_batched_weights(y, lay["weight"], lay["bias"], k)
+        if mode == "residual":
+            z = z + y
+        if non_linearity == "relu":
+            z = jax.nn.relu(z)
+        y = z
+
+    if "stabiliser" in params:
+        n_in_stab = params["stabiliser"]["weight"].shape[2]
+        y = y + _conv_batched_weights(x[:, :n_in_stab],
+                                      params["stabiliser"]["weight"],
+                                      params["stabiliser"]["bias"], 1)
+
+    ot = params["output_transform"]
+    return _conv_batched_weights(y, ot["weight"], ot["bias"], 1)

@@ -199,8 +199,13 @@ def _left_cum(s, mu_fp, slope):
 # The kernel.
 # ---------------------------------------------------------------------------
 def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
-                 n_trunk: int, R: int, D: int, G: int, step: int):
-    """dims: per-trunk-layer (in, out); taps: ((dy, dx), ...) spatial taps."""
+                 n_trunk: int, R: int, D: int, G: int, step: int,
+                 ifce_packed: bool = False):
+    """dims: per-trunk-layer (in, out); taps: ((dy, dx), ...) spatial taps.
+    ifce_packed: the IFCE rows hold TWO int16 context values per int32 word
+    (feature 2k in the low half, 2k+1 in the high half) -- used when the
+    host certifies |ctx| < 2^15 from the IFCE weight bounds, halving the
+    VMEM the context costs so bigger grid batches fit."""
     from jax.experimental import pallas as pl
 
     n_spatial = len(taps)
@@ -252,9 +257,14 @@ def _make_kernel(h: int, w: int, dims: tuple, taps: tuple, n_ifce: int,
                     valid = active & (yk >= 0) & (xk >= 0) & (xk < w)
                     ctx.append(jnp.where(valid, row, 0) << 8)  # X.8
                 if n_ifce > 0:
-                    ifce_rows = ifce_ref[pl.ds(d, 1), :, :, :]  # [1,nifce,G,L]
+                    ifce_rows = ifce_ref[pl.ds(d, 1), :, :, :]  # [1,rows,G,L]
                     for k in range(n_ifce):
-                        ctx.append(jnp.where(active, ifce_rows[0, k], 0))
+                        if ifce_packed:
+                            v = ifce_rows[0, k // 2]
+                            ic = ((v << 16) >> 16) if k % 2 == 0 else (v >> 16)
+                        else:
+                            ic = ifce_rows[0, k]
+                        ctx.append(jnp.where(active, ic, 0))
 
             # ---- int32 X.8 ARM (certified overflow-free by the encoder).
             # weights/biases are per-grid [G, n] arrays; each scalar becomes
@@ -407,7 +417,7 @@ def _tap_list(ctx_idx: np.ndarray) -> tuple:
 
 @lru_cache(maxsize=64)
 def _build(h: int, w: int, taps: tuple, n_ifce: int, dims: tuple, R: int,
-           G: int, interpret: bool):
+           G: int, interpret: bool, ifce_packed: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -415,13 +425,15 @@ def _build(h: int, w: int, taps: tuple, n_ifce: int, dims: tuple, R: int,
     PAD_D = _off_max(step) + 1
     D = (w - 1) + (h - 1) * step + 1
     n_trunk = len(dims)
-    kernel = _make_kernel(h, w, dims, taps, n_ifce, n_trunk, R, D, G, step)
+    kernel = _make_kernel(h, w, dims, taps, n_ifce, n_trunk, R, D, G, step,
+                          ifce_packed)
 
     n_w = sum(i * o for i, o in dims)
     n_b = sum(o for _, o in dims)
     dim = len(taps) + n_ifce
 
-    ifce_shape = (D, max(n_ifce, 1), G, LANES)
+    n_ifce_rows = (n_ifce + 1) // 2 if ifce_packed else n_ifce
+    ifce_shape = (D, max(n_ifce_rows, 1), G, LANES)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((D + PAD_D + PAD_TAIL, G, LANES),
@@ -461,15 +473,17 @@ def words_bucket(max_words: int) -> int:
     return R
 
 
-def grid_batch_limit(h: int, w: int, n_ifce: int, max_words: int = 2048) -> int:
+def grid_batch_limit(h: int, w: int, n_ifce: int, max_words: int = 2048,
+                     ifce_packed: bool = False) -> int:
     """Largest power-of-two grid batch G (<= 8) whose sheared symbol store +
     IFCE context + word buffers fit the VMEM budget. max_words must be the
     longest per-stream word count across the batch (the words buffer is
     bucketed to the next power of two above it)."""
     step = tpu_wavefront_step(w)
     D = (w - 1) + (h - 1) * step + 1
+    n_ifce_rows = (n_ifce + 1) // 2 if ifce_packed else n_ifce
     per_grid = (D + _off_max(step) + 1 + PAD_TAIL) * LANES * 4  # symbol store
-    per_grid += D * max(n_ifce, 1) * LANES * 4             # ifce context
+    per_grid += D * max(n_ifce_rows, 1) * LANES * 4        # ifce context
     per_grid += words_bucket(max_words) * LANES * 4        # words
     g = 8
     while g > 1 and g * per_grid > VMEM_BUDGET_BYTES:

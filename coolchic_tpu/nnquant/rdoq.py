@@ -1,16 +1,20 @@
 """RDOQ: greedy rate-distortion refinement of the quantized NN parameters.
 
-Every quantized scalar k*q_step is revisited in random order; all 31
-candidate values k-15..k+15 are scored in ONE vmapped, jitted call and the
-argmin kept. The reference walks shifts sequentially with early stopping
-(coolchic/nnquant/rdoq.py:142-215); the batched sweep is strictly more
-exhaustive per scalar and removes the per-candidate dispatch cost.
+Coverage mirrors the reference (coolchic/nnquant/rdoq.py:28-462): ARM and
+IFCE are scored by pure rate (latent rate + module NN rate -- distortion is
+untouched by entropy-model edits), synthesis by distortion-after-rounding +
+NN rate for I frames of any data type (RGB and YUV420; the reference's
+score_syn_image, rdoq.py:388-462).
 
-Fast partial scorers (reference rdoq.py:316-462):
-  - arm:  lambda * (latent rate + module NN rate); distortion unaffected;
-  - synthesis (intra): distortion + module NN rate; latent rate constant.
-The module parameters are rebuilt from the flat candidate vector INSIDE the
-jitted scorer, so only a [31, n] array crosses the host boundary per scalar.
+Orchestration is TPU-shaped instead of the reference's one-forward-per-probe
+loop: scalars are processed in CHUNKS -- every (scalar, candidate-shift)
+pair of a chunk is scored in ONE jitted, vmapped device call, per-scalar
+argmins are applied jointly, and the next chunk's free base-loss column
+verifies the joint step (rare regressions roll back to the chunk's single
+best edit, whose gain was measured exactly). Device memory is bounded by a
+lax.scan over latent-chunks (ARM/IFCE) or over image row-tiles with a
+receptive-field halo (synthesis), so a chunk of hundreds of candidate
+forwards fits HBM.
 """
 
 from __future__ import annotations
@@ -27,12 +31,18 @@ from coolchic_tpu.core.laplace import rate_bits
 from coolchic_tpu.models.arm import arm_apply, arm_reparameterize
 from coolchic_tpu.models.coolchic import ifce_context, synthesis_input
 from coolchic_tpu.models.synthesis import synthesis_apply
-from coolchic_tpu.models.upsampling import upsampling_apply
 from coolchic_tpu.ops.context import spatial_context
 from coolchic_tpu.ops.resize import interpolate
 
 N_SHIFTS = 15
-_N_CAND = 2 * N_SHIFTS + 1
+# ARM/IFCE probes are cheap (rate only): sweep every shift like before.
+ARM_SHIFTS = tuple(range(-N_SHIFTS, N_SHIFTS + 1))
+# Synthesis probes run a conv stack per candidate; the reference's early
+# stop almost never walks past +-3, so probe a sparse ladder beyond it.
+SYN_SHIFTS = (-15, -7, -3, -2, -1, 0, 1, 2, 3, 7, 15)
+
+# Rough per-candidate-lane activation budget (bytes) for sizing chunks.
+_LANE_BUDGET_BYTES = 2 * 1024 ** 3
 
 
 def _expgol_rate_bits(v: jnp.ndarray, count: int) -> jnp.ndarray:
@@ -83,6 +93,13 @@ def _arm_from_flat(flat_w, flat_b, cfg: CoolChicConfig, shapes_w, shapes_b) -> d
     return params
 
 
+def _ifce_from_flat(flat_w, flat_b, shapes_w, shapes_b) -> dict:
+    ws = _rebuild(flat_w, shapes_w)
+    bs = _rebuild(flat_b, shapes_b)
+    return {"arms": [{"layers": [{"weight": w, "bias": b}]}
+                     for w, b in zip(ws, bs)]}
+
+
 def _syn_from_flat(flat_w, flat_b, cfg: CoolChicConfig, shapes_w, shapes_b) -> dict:
     ws = _rebuild(flat_w, shapes_w)
     bs = _rebuild(flat_b, shapes_b)
@@ -96,101 +113,341 @@ def _syn_from_flat(flat_w, flat_b, cfg: CoolChicConfig, shapes_w, shapes_b) -> d
     return params
 
 
+def _pad_chunks(x: np.ndarray, n_chunks: int) -> np.ndarray:
+    """[N, ...] -> [n_chunks, N/n_chunks, ...] zero-padded."""
+    n = x.shape[0]
+    per = -(-n // n_chunks)
+    pad = n_chunks * per - n
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x.reshape((n_chunks, per) + x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# Scorers: fn(flat_w, flat_b, idxs [S], vals [S, C], *activations) -> [S, C]
+# ---------------------------------------------------------------------------
 @lru_cache(maxsize=32)
-def _make_scorer(cfg: CoolChicConfig, module: str, wb: str, lmbda: float,
-                 q: float, cnt: int, shapes_w: tuple, shapes_b: tuple):
-    """Batched scorer: fn(flat_batch [B, n_wb], other_flat, activations...)."""
-    if module == "arm":
-        def score_one(flat_w, flat_b, flat_latent, ctx):
-            arm = _arm_from_flat(flat_w, flat_b, cfg, list(shapes_w), list(shapes_b))
+def _make_rate_scorer(cfg: CoolChicConfig, module: str, wb: str, q: float,
+                      cnt: int, shapes_w: tuple, shapes_b: tuple,
+                      arm_shapes_w: tuple, arm_shapes_b: tuple, n_chunks: int):
+    """ARM / IFCE scorer: latent rate (in bits, via the main ARM) + module NN
+    rate. Latents are scanned in n_chunks slabs to bound activation memory.
+    Activations: (lat_c [T, n], ctx_or_spatial_c [T, n, d], mask_c [T, n],
+    and for IFCE additionally the tuple of latent grids)."""
+
+    def rate_scan(arm, lat_c, ctx_c, mask_c):
+        def body(acc, xs):
+            lat, ctx, m = xs
             mu, scale = arm_reparameterize(arm_apply(arm, ctx))
-            edited = flat_w if wb == "weight" else flat_b
+            return acc + jnp.sum(rate_bits(lat, mu, scale) * m), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), (lat_c, ctx_c, mask_c))
+        return total
+
+    if module == "arm":
+        def score_one(flat_w, flat_b, idx, val, lat_c, ctx_c, mask_c):
+            fw = flat_w.at[idx].set(val) if wb == "weight" else flat_w
+            fb = flat_b.at[idx].set(val) if wb == "bias" else flat_b
+            arm = _arm_from_flat(fw, fb, cfg, list(shapes_w), list(shapes_b))
+            edited = fw if wb == "weight" else fb
             nn_bits = _expgol_rate_bits(jnp.round(edited / q), cnt)
-            return lmbda * (rate_bits(flat_latent, mu, scale).sum() + nn_bits)
+            return rate_scan(arm, lat_c, ctx_c, mask_c) + nn_bits
+    else:  # ifce: edits change the context itself
+        def score_one(flat_w, flat_b, idx, val, lat_c, sp_c, mask_c,
+                      arm_flat_w, arm_flat_b, *latents):
+            fw = flat_w.at[idx].set(val) if wb == "weight" else flat_w
+            fb = flat_b.at[idx].set(val) if wb == "bias" else flat_b
+            trial = {"ifce": _ifce_from_flat(fw, fb, list(shapes_w), list(shapes_b))}
+            ctx_if = ifce_context(trial, cfg, list(latents))  # [N, Cf]
+            ctx_if_c = _pad_chunks_jnp(ctx_if, n_chunks)
+            ctx_c = jnp.concatenate([sp_c, ctx_if_c], axis=2)
+            arm = _arm_from_flat(arm_flat_w, arm_flat_b, cfg,
+                                 list(arm_shapes_w), list(arm_shapes_b))
+            edited = fw if wb == "weight" else fb
+            nn_bits = _expgol_rate_bits(jnp.round(edited / q), cnt)
+            return rate_scan(arm, lat_c, ctx_c, mask_c) + nn_bits
 
-        axes = (0, None, None, None) if wb == "weight" else (None, 0, None, None)
-        return jax.jit(jax.vmap(score_one, in_axes=axes))
+    @lru_cache(maxsize=4)
+    def build(n_acts: int):
+        inner = jax.vmap(score_one, in_axes=(None, None, None, 0)
+                         + (None,) * n_acts)
+        return jax.jit(jax.vmap(inner, in_axes=(None, None, 0, 0)
+                                + (None,) * n_acts))
 
-    def score_one(flat_w, flat_b, syn_in, target):
-        syn = _syn_from_flat(flat_w, flat_b, cfg, list(shapes_w), list(shapes_b))
-        out = synthesis_apply(syn, cfg, syn_in)
-        out = jnp.clip(interpolate(out, cfg.img_size, cfg.final_upsampling_type), 0.0, 1.0)
-        mse = jnp.mean(jnp.square(out - target))
-        edited = flat_w if wb == "weight" else flat_b
-        n_pixels = cfg.img_size[0] * cfg.img_size[1]
+    return lambda fw, fb, idxs, vals, *acts: build(len(acts))(
+        fw, fb, idxs, vals, *acts)
+
+
+def _pad_chunks_jnp(x: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
+    n = x.shape[0]
+    per = -(-n // n_chunks)
+    pad = n_chunks * per - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x.reshape((n_chunks, per) + x.shape[1:])
+
+
+@lru_cache(maxsize=16)
+def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
+                     cnt: int, shapes_w: tuple, shapes_b: tuple,
+                     frame_data_type: str, bitdepth: int, n_tiles: int):
+    """Synthesis scorer (I frames): distortion after bitdepth rounding (and
+    444->420 conversion for YUV) + lmbda * NN rate / n_pixels. The conv
+    stack runs tile-by-tile over image rows with a receptive-field halo
+    (row indices are clamped, which reproduces replicate padding at image
+    borders exactly), so hundreds of candidate lanes fit in HBM."""
+    h, w = cfg.img_size
+    halo = sum((k - 1) // 2 for _, k, _, _ in cfg.parsed_synthesis)
+    max_dyn = float(2 ** bitdepth - 1)
+    n_pixels = h * w
+
+    rows_per = -(-h // n_tiles)
+    if frame_data_type == "yuv420":
+        rows_per += rows_per % 2  # keep 420 2x2 blocks intact
+    starts = [min(i * rows_per, max(h - rows_per, 0)) for i in range(n_tiles)]
+    # clamped input row indices (halo) per tile: [T, rows_per + 2*halo]
+    in_rows = np.stack([np.clip(np.arange(s - halo, s + rows_per + halo), 0, h - 1)
+                        for s in starts])
+    out_rows = np.stack([np.arange(s, s + rows_per) for s in starts])
+    # tiles can overlap at the bottom edge; weight rows so each image row
+    # counts exactly once
+    row_seen = np.zeros(h, np.int64)
+    row_w = []
+    for r in out_rows:
+        w_t = (row_seen[r] == 0).astype(np.float32)
+        row_seen[r] += 1
+        row_w.append(w_t)
+    row_w = np.stack(row_w)  # [T, rows_per]
+
+    def score_one(flat_w, flat_b, idx, val, syn_in, target):
+        fw = flat_w.at[idx].set(val) if wb == "weight" else flat_w
+        fb = flat_b.at[idx].set(val) if wb == "bias" else flat_b
+        syn = _syn_from_flat(fw, fb, cfg, list(shapes_w), list(shapes_b))
+
+        def body(acc, xs):
+            rows_in, rows_out, w_t = xs
+            tile_in = jnp.take(syn_in, rows_in, axis=2)       # [1, C, rh, W]
+            out = synthesis_apply(syn, cfg, tile_in)[:, :, halo:halo + rows_per]
+            tgt = jnp.take(target, rows_out, axis=2)
+            if frame_data_type == "yuv420":
+                from coolchic_tpu.models.frame import _to_420
+
+                dec = {k: jnp.clip(v, 0.0, 1.0)
+                       for k, v in _to_420(out).items()}
+                dec = {k: jnp.round(v * max_dyn) / max_dyn
+                       for k, v in dec.items()}
+                tgt420 = _to_420(tgt)
+                wy = w_t[None, None, :, None]
+                wu = w_t[0::2][None, None, :, None]
+                sse = (jnp.sum(jnp.square(dec["y"] - tgt420["y"]) * wy)
+                       + jnp.sum(jnp.square(dec["u"] - tgt420["u"]) * wu)
+                       + jnp.sum(jnp.square(dec["v"] - tgt420["v"]) * wu))
+                npx = (jnp.sum(wy) * out.shape[-1]
+                       + 2 * jnp.sum(wu) * out.shape[-1] / 2)
+            else:
+                dec = out if frame_data_type == "flow" else jnp.clip(out, 0.0, 1.0)
+                dec = jnp.round(dec * max_dyn) / max_dyn
+                wr = w_t[None, None, :, None]
+                sse = jnp.sum(jnp.square(dec - tgt) * wr)
+                npx = jnp.sum(w_t) * out.shape[1] * out.shape[-1]
+            return (acc[0] + sse, acc[1] + npx), None
+
+        (sse, npx), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            (jnp.asarray(in_rows), jnp.asarray(out_rows), jnp.asarray(row_w)))
+        dist = sse / npx
+        edited = fw if wb == "weight" else fb
         nn_bits = _expgol_rate_bits(jnp.round(edited / q), cnt)
-        return mse + lmbda * nn_bits / n_pixels
+        return dist + lmbda * nn_bits / n_pixels
 
-    axes = (0, None, None, None) if wb == "weight" else (None, 0, None, None)
-    return jax.jit(jax.vmap(score_one, in_axes=axes))
+    inner = jax.vmap(score_one, in_axes=(None, None, None, 0, None, None))
+    return jax.jit(jax.vmap(inner, in_axes=(None, None, 0, 0, None, None)))
+
+
+# ---------------------------------------------------------------------------
+# Chunked parallel-greedy sweep.
+# ---------------------------------------------------------------------------
+def _sweep(scorer, flat_w: np.ndarray, flat_b: np.ndarray, wb: str,
+           shifts: tuple, q: float, acts: tuple, chunk: int, rng,
+           verbose: bool, tag: str) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy coordinate refinement of flat_<wb>: chunks of `chunk` scalars,
+    every (scalar, shift) scored in one device call, per-scalar argmins
+    applied jointly, regression (checked against the next chunk's free
+    cand==0 column) rolls back to the chunk's single best edit."""
+    flat = (flat_w if wb == "weight" else flat_b).copy()
+    n = flat.size
+    if n == 0:
+        return flat_w, flat_b
+    order = rng.permutation(n)
+    shifts_np = np.asarray(shifts, np.float32) * np.float32(q)
+    zero_col = int(np.argwhere(np.asarray(shifts) == 0)[0, 0])
+
+    def run(chunk_idx):
+        fw = jnp.asarray(flat) if wb == "weight" else jnp.asarray(flat_w)
+        fb = jnp.asarray(flat) if wb == "bias" else jnp.asarray(flat_b)
+        vals = flat[chunk_idx][:, None] + shifts_np[None, :]
+        losses = np.asarray(scorer(fw, fb, jnp.asarray(chunk_idx),
+                                   jnp.asarray(vals), *acts), np.float64)
+        losses[np.abs(np.round(vals / q)) > 65535] = np.inf
+        return losses, vals
+
+    prev = None  # (flat_before, idxs, vals, losses) of the last applied chunk
+    base = None
+    n_changed = 0
+    for c0 in range(0, n, chunk):
+        idxs = order[c0:c0 + chunk]
+        losses, vals = run(idxs)
+        cur_base = float(losses[0, zero_col])
+        if base is None:
+            base = cur_base
+        elif prev is not None and cur_base > prev[3] + 1e-9:
+            # joint apply regressed: roll back to the single best edit of
+            # the previous chunk (its gain was measured exactly)
+            p_flat, p_idxs, p_vals, p_base, p_losses = prev
+            flat = p_flat
+            r, c = np.unravel_index(np.argmin(p_losses), p_losses.shape)
+            if p_losses[r, c] < p_base:
+                flat[p_idxs[r]] = p_vals[r, c]
+                base = float(p_losses[r, c])
+            else:
+                base = p_base
+            losses, vals = run(idxs)
+            cur_base = float(losses[0, zero_col])
+        base = cur_base
+
+        best_c = np.argmin(losses, axis=1)
+        improve = losses[np.arange(len(idxs)), best_c] < base - 0.0
+        improve &= best_c != zero_col
+        if improve.any():
+            prev = (flat.copy(), idxs, vals, base, losses)
+            flat[idxs[improve]] = vals[np.arange(len(idxs))[improve],
+                                       best_c[improve]]
+            n_changed += int(improve.sum())
+        else:
+            prev = None
+
+    # verify the last applied chunk with one extra base probe
+    if prev is not None:
+        losses, _ = run(order[:1])
+        if float(losses[0, zero_col]) > prev[3] + 1e-9:
+            p_flat, p_idxs, p_vals, p_base, p_losses = prev
+            flat = p_flat
+            r, c = np.unravel_index(np.argmin(p_losses), p_losses.shape)
+            if p_losses[r, c] < p_base:
+                flat[p_idxs[r]] = p_vals[r, c]
+
+    if verbose:
+        print(f"  rdoq {tag}: {n_changed}/{n} scalars adjusted", flush=True)
+    if wb == "weight":
+        return flat, flat_b
+    return flat_w, flat
 
 
 def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: dict,
-                  lmbda: float, target=None, frame_type: str = "I", seed: int = 0,
-                  modules: tuple = ("arm", "synthesis"), verbose: bool = False) -> dict:
-    """Refine the quantized ARM / synthesis params of one cool-chic decoder."""
+                  lmbda: float, target=None, frame_type: str = "I",
+                  frame_data_type: str = "rgb", bitdepth: int = 8,
+                  seed: int = 0, modules: tuple = None,
+                  verbose: bool = False) -> dict:
+    """Refine the quantized NN params of one cool-chic decoder.
+
+    target: dense [1, C, H, W] array (RGB / flow / YUV444-as-444) for the
+    synthesis scorer; pass the 444 representation for yuv420 content (the
+    scorer converts tiles to 420 and weights channels by pixel count,
+    mirroring the reference's score_syn_image)."""
+    if modules is None:
+        modules = ("arm",) + (("ifce",) if cfg.flag_ifce else ()) + \
+            (("synthesis",) if target is not None and frame_type == "I" else ())
     rng = np.random.default_rng(seed)
     params = cc_params
 
     latents = [jnp.round(jnp.asarray(lat) * cfg.encoder_gain)
                for lat in cc_params["latents"]]
-    flat_latent = jnp.concatenate([g.reshape(-1) for g in latents])
+    flat_latent = np.concatenate([np.asarray(g).reshape(-1) for g in latents])
+    n_lat = flat_latent.size
+
+    # shared chunked activations for the rate scorers: bound the vmapped
+    # scan slab so (lanes x slab) stays within the per-lane budget
+    # (lanes <= 8 scalars x 31 shifts = 248)
+    dim = cfg.total_context_arm
+    n_chunks = int(np.clip(
+        -(-248 * n_lat * dim * 4 // _LANE_BUDGET_BYTES), 1, 64))
+    lat_c = jnp.asarray(_pad_chunks(flat_latent.astype(np.float32), n_chunks))
+    mask = np.ones(n_lat, np.float32)
+    mask_c = jnp.asarray(_pad_chunks(mask, n_chunks))
 
     for module in modules:
         if module == "synthesis" and (target is None or frame_type != "I"):
             continue
-        if module == "arm":
-            ctx_spatial = jnp.concatenate(
-                [spatial_context(g, cfg.spatial_context_arm) for g in latents], axis=0)
-            if cfg.flag_ifce:
-                ctx = jnp.concatenate([ctx_spatial,
-                                       ifce_context(params, cfg, latents)], axis=1)
-            else:
-                ctx = ctx_spatial
-            activations = (flat_latent, ctx)
-        else:
-            syn_grids = [g for g, hyper in zip(latents, cfg.flag_is_hyperlatent)
-                         if not hyper]
-            dense = upsampling_apply(params["upsampling"], syn_grids, cfg.ups_k_size,
-                                     cfg.ups_preconcat_k_size, training=False)
-            activations = (synthesis_input(cfg, dense, None), jnp.asarray(target))
+        if module == "ifce" and not cfg.flag_ifce:
+            continue
 
         shapes_w = tuple(_module_shapes(params, cfg, module, "weight"))
         shapes_b = tuple(_module_shapes(params, cfg, module, "bias"))
         flat_w = _flat(params, cfg, module, "weight")
         flat_b = _flat(params, cfg, module, "bias")
+        if flat_w.size == 0 and flat_b.size == 0:
+            continue
+
+        if module == "arm":
+            ctx_sp = jnp.concatenate(
+                [spatial_context(g, cfg.spatial_context_arm) for g in latents], axis=0)
+            if cfg.flag_ifce:
+                full_ctx = jnp.concatenate(
+                    [ctx_sp, ifce_context(params, cfg, latents)], axis=1)
+            else:
+                full_ctx = ctx_sp
+            acts = (lat_c, _pad_chunks_jnp(full_ctx, n_chunks), mask_c)
+            shifts, chunk = ARM_SHIFTS, 8
+        elif module == "ifce":
+            arm_shapes_w = tuple(_module_shapes(params, cfg, "arm", "weight"))
+            arm_shapes_b = tuple(_module_shapes(params, cfg, "arm", "bias"))
+            ctx_sp = jnp.concatenate(
+                [spatial_context(g, cfg.spatial_context_arm) for g in latents], axis=0)
+            acts = (lat_c, _pad_chunks_jnp(ctx_sp, n_chunks), mask_c,
+                    jnp.asarray(_flat(params, cfg, "arm", "weight")),
+                    jnp.asarray(_flat(params, cfg, "arm", "bias")),
+                    *latents)
+            shifts, chunk = ARM_SHIFTS, 2
+        else:
+            syn_grids = [g for g, hyper in zip(latents, cfg.flag_is_hyperlatent)
+                         if not hyper]
+            from coolchic_tpu.models.upsampling import upsampling_apply
+
+            dense = upsampling_apply(params["upsampling"], syn_grids, cfg.ups_k_size,
+                                     cfg.ups_preconcat_k_size, training=False)
+            cr = None
+            if cfg.flag_common_randomness:
+                from coolchic_tpu.core.noise import common_randomness_grids
+
+                cr = [jnp.asarray(g) for g in
+                      common_randomness_grids(list(cfg.size_per_latent_cr))]
+            syn_in = synthesis_input(cfg, dense, cr)
+            if cfg.size_per_latent[0] != cfg.img_size:
+                # synthesis output needs a global rescale; tile scoring does
+                # not apply -- skip (reference-size configs never hit this)
+                continue
+            acts = (syn_in, jnp.asarray(np.asarray(target, np.float32)))
+            shifts, chunk = SYN_SHIFTS, 16
 
         for wb in ("weight", "bias"):
-            q = 2.0 ** q_shift[(module, wb)]
-            cnt = expgol[(module, wb)]
-            flat = flat_w if wb == "weight" else flat_b
-            if flat.size == 0:
+            qv = float(2.0 ** q_shift[(module, wb)])
+            cnt = int(expgol[(module, wb)])
+            if (flat_w if wb == "weight" else flat_b).size == 0:
                 continue
-            scorer = _make_scorer(cfg, module, wb, lmbda, q, cnt, shapes_w, shapes_b)
-            shifts = (np.arange(-N_SHIFTS, N_SHIFTS + 1) * q).astype(np.float32)
-
-            n_changed = 0
-            for idx in rng.permutation(flat.size):
-                batch = np.tile(flat, (_N_CAND, 1))
-                batch[:, idx] = flat[idx] + shifts
-                if wb == "weight":
-                    losses = scorer(jnp.asarray(batch), jnp.asarray(flat_b), *activations)
-                else:
-                    losses = scorer(jnp.asarray(flat_w), jnp.asarray(batch), *activations)
-                losses = np.array(losses)
-                # Keep quantized magnitudes within the 16-bit header cap.
-                losses[np.abs(np.round((flat[idx] + shifts) / q)) > 65535] = np.inf
-                best = int(np.argmin(losses))
-                if shifts[best] != 0.0:
-                    flat[idx] = flat[idx] + shifts[best]
-                    n_changed += 1
-            if wb == "weight":
-                flat_w = flat
+            if module == "synthesis":
+                n_tiles = max(1, min(16, cfg.img_size[0] // 32))
+                scorer = _make_syn_scorer(cfg, wb, float(lmbda), qv, cnt,
+                                          shapes_w, shapes_b, frame_data_type,
+                                          bitdepth, n_tiles)
             else:
-                flat_b = flat
-            params = _set_flat(params, cfg, module, wb, flat)
-            if verbose:
-                print(f"  rdoq {module}.{wb}: {n_changed}/{flat.size} scalars adjusted",
-                      flush=True)
+                arm_sw = shapes_w if module == "arm" else arm_shapes_w
+                arm_sb = shapes_b if module == "arm" else arm_shapes_b
+                scorer = _make_rate_scorer(cfg, module, wb, qv, cnt, shapes_w,
+                                           shapes_b, arm_sw, arm_sb, n_chunks)
+            flat_w, flat_b = _sweep(scorer, flat_w, flat_b, wb, shifts, qv,
+                                    acts, chunk, rng, verbose,
+                                    f"{module}.{wb}")
+
+        params = _set_flat(params, cfg, module, "weight", flat_w)
+        params = _set_flat(params, cfg, module, "bias", flat_b)
 
     return params

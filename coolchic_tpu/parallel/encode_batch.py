@@ -261,11 +261,11 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
             if rdoq:
                 from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 
-                rdoq_target = target if not isinstance(target, dict) else None
-                modules = ("arm", "synthesis") if rdoq_target is not None else ("arm",)
+                rdoq_target = (np.asarray(target)
+                               if not isinstance(target, dict) else None)
                 q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift,
                                          expgol, phase0.lmbda, target=rdoq_target,
-                                         frame_type="I", modules=modules, verbose=False)
+                                         frame_type="I", verbose=False)
             params = dict(params)
             params[cc_name] = q_params
             nn_side_info[cc_name] = (q_shift, expgol)

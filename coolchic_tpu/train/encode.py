@@ -121,11 +121,17 @@ def encode_image(frame: FrameData, cfgs: dict[str, CoolChicConfig], preset: Pres
         if rdoq:
             from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 
-            rdoq_target = target if not isinstance(target, dict) else None
-            modules = ("arm", "synthesis") if rdoq_target is not None else ("arm",)
+            if isinstance(target, dict):
+                from coolchic_tpu.io.yuv import convert_420_to_444
+
+                rdoq_target = convert_420_to_444(
+                    {k: np.asarray(v) for k, v in target.items()})
+            else:
+                rdoq_target = np.asarray(target)
             q_params = rdoq_coolchic(q_params, cfg, q_shift, expgol, phase0.lmbda,
                                      target=rdoq_target, frame_type="I",
-                                     modules=modules, verbose=verbose)
+                                     frame_data_type=frame.frame_data_type,
+                                     bitdepth=frame.bitdepth, verbose=verbose)
         params = dict(params)
         params[cc_name] = q_params
         nn_side_info[cc_name] = (q_shift, expgol)

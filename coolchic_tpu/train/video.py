@@ -234,14 +234,13 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
         if rdoq:
             from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 
-            rdoq_target = (np.asarray(target) if frame.frame_type == "I"
-                           and not isinstance(target, dict) and cc_name == "residue"
-                           else None)
-            modules = ("arm", "synthesis") if rdoq_target is not None else ("arm",)
+            rdoq_target = (_dense(fdata) if frame.frame_type == "I"
+                           and cc_name == "residue" else None)
             q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift, expgol,
                                      phase0.lmbda, target=rdoq_target,
-                                     frame_type=frame.frame_type, modules=modules,
-                                     verbose=verbose)
+                                     frame_type=frame.frame_type,
+                                     frame_data_type=fdata.frame_data_type,
+                                     bitdepth=fdata.bitdepth, verbose=verbose)
         params = dict(params)
         params[cc_name] = q_params
         nn_side_info[cc_name] = (q_shift, expgol)

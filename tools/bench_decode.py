@@ -70,9 +70,15 @@ def main():
     print(f"host prep (parse + NN decode + small grids + h2d): {t_prep*1e3:.0f} ms "
           f"for {args.n} images; device levels {batch.device_levels}", flush=True)
 
+    def sync(x):
+        """The axon remote backend's block_until_ready does not wait for
+        in-flight executions; fetching a tiny slice does (and device-side
+        execution order makes it a barrier for everything queued before)."""
+        return np.asarray(jax.device_get(x[:1, :1, :1, :4]))
+
     t0 = time.time()
     raw, grids = batch.run()
-    jax.block_until_ready(raw)
+    sync(raw)
     t_first = time.time() - t0
     print(f"first call (incl. compile): {t_first:.1f} s", flush=True)
 
@@ -86,22 +92,30 @@ def main():
         print(f"bit-exact grids OK; float tail max |diff| vs host = {err:.2e}",
               flush=True)
 
+    # measure the sync cost itself (fetch of an already-materialized buffer
+    # costs one tunnel round-trip; device execution is in-order, so fetching
+    # the LAST result of a K-call chain syncs the whole chain)
+    t0 = time.time()
+    sync(raw)
+    t_sync = time.time() - t0
+
     best = float("inf")
     for _ in range(args.reps):
         t0 = time.time()
         raw, grids = batch.run()
-        jax.block_until_ready(raw)
+        sync(raw)
         best = min(best, time.time() - t0)
-    print(f"device program: {best*1e3:.1f} ms for {args.n} images "
-          f"({n_pix/best/1e6:.1f} Mpix/s/chip incl. dispatch)", flush=True)
+    print(f"single batch: {best*1e3:.1f} ms incl. dispatch+sync "
+          f"({n_pix/best/1e6:.1f} Mpix/s)", flush=True)
 
-    # pipelined: amortize the tunnel dispatch latency away
+    K = max(args.reps, 5)
     t0 = time.time()
-    outs = [batch.run() for _ in range(args.reps)]
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / args.reps
-    print(f"pipelined: {dt*1e3:.1f} ms/batch -> {n_pix/dt/1e6:.1f} Mpix/s/chip",
-          flush=True)
+    for _ in range(K):
+        raw, grids = batch.run()
+    sync(raw)
+    dt = (time.time() - t0 - t_sync) / K
+    print(f"pipelined x{K}: {dt*1e3:.1f} ms/batch -> "
+          f"{n_pix/dt/1e6:.1f} Mpix/s/chip", flush=True)
 
 
 if __name__ == "__main__":

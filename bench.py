@@ -1,16 +1,21 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Round-1 metric: overfitting-encoder training throughput (iterations/s) on
-the hop intra configuration at the flagship Kodak size 512x768 -- the encode
-hot loop where >95% of Cool-Chic encode wall-clock goes (BASELINE.json
-config "Encode+decode single Kodak 768x512 RGB image").
+Headline (round 2+): DECODE throughput of the `tpu`-profile serving path --
+the BASELINE.json north star (">= 50 Mpix/s/chip"). A batch of 8 kodim14
+payloads (real latents, real quantized networks, 512x768 hop architecture)
+is decoded by the fully on-device pipeline (bitstream/device_decode.py:
+Pallas wavefront kernels + on-device IFCE + vmapped float tail), verified
+bit-exact against the host C++ decoder, and timed with fetch-synced
+pipelined calls (the axon remote backend's block_until_ready does not
+wait, so a device->host fetch is the only true barrier).
 
-Baseline: the reference PyTorch implementation (same architecture, same
-forward/backward/optimizer step) at the same 512x768 size on this host's
-CPU (2 threads): 0.51 it/s (1.96 s/iter). The north star is >=10x.
+Baseline: the reference PyTorch decoder (this host, 2 CPU threads, via
+tools/ref_shims) decodes kodim14 in 3.03 s = 0.130 Mpix/s.
 
-The first run on a fresh machine pays a ~6 min remote XLA compile; it is
-cached persistently in .jax_cache, so subsequent runs start in seconds.
+`extra` carries the round-1 encode metric (training-loop it/s on the hop
+512x768 config vs the reference's 0.51 it/s on this host's CPU) so both
+axes stay tracked. First run on a fresh machine pays remote XLA compiles;
+they persist in .jax_cache.
 """
 
 import json
@@ -19,24 +24,101 @@ import time
 
 import jax
 
-# Persistent compilation cache: the first bench run on a fresh machine pays
-# the (large) XLA compile of the scan-of-SOAP-steps graph once.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+import numpy as np
 
-# Reference coolchic (torch 2.13 CPU, 2 threads, this host), hop 512x768,
-# full forward/backward/Adam step of the training loop: 1.96 s/iter.
-# (At 256x384 the reference measures 3.71 it/s on the same host.)
+# Reference decoder (torch 2.13 CPU, 2 threads, this host) on kodim14.cool:
+# 3.03 s for 0.393 Mpix.
+BASELINE_REF_DECODE_MPIX_S = 0.130
+# Reference trainer (same host), hop 512x768, full fwd/bwd/step: 1.96 s/iter.
 BASELINE_REF_CPU_IT_PER_SEC = 0.51
 
+N_DECODE_IMAGES = 8
+N_DECODE_REPS = 5
 N_TIMED_ITERS = 100
 N_TIMED_WINDOWS = 3
 
+KODIM14 = "/root/reference/samples/bitstreams/kodim14.cool"
 
-def main():
+
+def bench_decode() -> dict:
+    from coolchic_tpu.bitstream import codec
+    from coolchic_tpu.bitstream.device_decode import prepare_batch
+    from coolchic_tpu.bitstream.headers import CoolChicHeader, FrameHeader, VideoHeader
+    from coolchic_tpu.bitstream.nncodec import decode_network
+
+    raw = open(KODIM14, "rb").read()
+    _, rest = VideoHeader.read(raw)
+    _, rest = FrameHeader.read(rest)
+    ch, rest = CoolChicHeader.read(rest)
+    cfg = ch.to_config()
+    bytes_nn = rest[:ch.nn_n_bytes]
+    bytes_latent = rest[ch.nn_n_bytes:ch.nn_n_bytes + ch.n_bytes_latent]
+    nn = decode_network(bytes_nn, cfg, ch.nn_q_step_shift, ch.nn_expgol_cnt,
+                        ch.nn_n_bit_pad)
+    _, grids_ref = codec.decode_coolchic(ch, bytes_nn, bytes_latent, profile="ref")
+    payload = codec.encode_coolchic_latents(
+        ch, nn, [np.asarray(g, np.int64) for g in grids_ref], profile="tpu")
+
+    n = N_DECODE_IMAGES
+    batch = prepare_batch([(ch, bytes_nn, payload)] * n)
+    n_pix = n * cfg.img_size[0] * cfg.img_size[1]
+
+    def sync(x):
+        return np.asarray(jax.device_get(x[:1, :1, :1, :4]))
+
+    raw_out, grids = batch.run()
+    sync(raw_out)
+
+    # bit-exactness gate vs the host C++ decode. Full grids are too slow to
+    # fetch over the tunnel (d2h ~2 MB/s), so compare two wrapped-int32
+    # checksums per grid computed ON DEVICE (sum and iota-weighted sum);
+    # tests/test_device_decode.py holds the full element-wise proof.
+    for lvl, g in enumerate(grids):
+        want = np.asarray(grids_ref[lvl]).astype(np.int32)
+        iota = np.arange(want.size, dtype=np.int32).reshape(want.shape)
+        with np.errstate(over="ignore"):
+            want_s = np.add.reduce(want.reshape(-1), dtype=np.int32)
+            want_m = np.add.reduce((want * iota).reshape(-1), dtype=np.int32)
+        gi = g.astype(jnp.int32)
+        got_s = np.asarray(jax.device_get(jnp.sum(gi, axis=(1, 2))))
+        got_m = np.asarray(jax.device_get(
+            jnp.sum(gi * jnp.asarray(iota)[None], axis=(1, 2))))
+        assert np.all(got_s == want_s) and np.all(got_m == want_m), \
+            f"level {lvl} checksum mismatch"
+
+    t0 = time.time()
+    sync(raw_out)
+    t_sync = time.time() - t0
+
+    single = float("inf")
+    for _ in range(N_DECODE_REPS):
+        t0 = time.time()
+        raw_out, grids = batch.run()
+        sync(raw_out)
+        single = min(single, time.time() - t0)
+
+    k = max(N_DECODE_REPS, 5)
+    t0 = time.time()
+    for _ in range(k):
+        raw_out, grids = batch.run()
+    sync(raw_out)
+    pipelined = (time.time() - t0 - t_sync) / k
+
+    return {
+        "mpix_per_s": n_pix / pipelined / 1e6,
+        "single_batch_ms": single * 1e3,
+        "pipelined_batch_ms": pipelined * 1e3,
+        "n_images": n,
+        "bit_exact": True,
+    }
+
+
+def bench_encode() -> dict:
     from coolchic_tpu.models.frame import FrameConfig, frame_encoder_init
     from coolchic_tpu.train.presets import TrainerPhase
     from coolchic_tpu.train.train import _make_fns, init_opt_state
@@ -61,15 +143,8 @@ def main():
     opt_state = init_opt_state(params, fns["hp_weight"], fns["hp_latent"])
 
     def fetch(tree):
-        """Device->host transfer of one leaf: the only reliable barrier on
-        the axon remote backend, where block_until_ready returns early on
-        not-yet-executed buffers (measured: block=7 ms while the first
-        execution still had ~700 s of remote compile+run ahead of it)."""
-        import numpy as np
         return float(np.asarray(tree["residue"]["latents"][0]).ravel()[0])
 
-    # Warm-up = one full-length window (same static `length` as the timed
-    # call, so exactly one compilation happens and is reused).
     p, o, k = params, opt_state, key
     p, o, k = train_window(p, o, k, jnp.float32(1e-2), jnp.float32(0.3),
                            jnp.float32(0.2), target, None, None,
@@ -85,12 +160,24 @@ def main():
         fetch(p)
         dt = min(dt, time.time() - t0)
 
-    it_per_sec = N_TIMED_ITERS / dt
+    return {"it_per_s": N_TIMED_ITERS / dt}
+
+
+def main():
+    dec = bench_decode()
+    enc = bench_encode()
     print(json.dumps({
-        "metric": "encode_train_iter_per_sec_hop_512x768",
-        "value": round(it_per_sec, 3),
-        "unit": "it/s",
-        "vs_baseline": round(it_per_sec / BASELINE_REF_CPU_IT_PER_SEC, 2),
+        "metric": "decode_mpix_per_s_hop_512x768_x8",
+        "value": round(dec["mpix_per_s"], 2),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(dec["mpix_per_s"] / BASELINE_REF_DECODE_MPIX_S, 1),
+        "extra": {
+            "decode_single_batch_ms": round(dec["single_batch_ms"], 1),
+            "decode_bit_exact": dec["bit_exact"],
+            "decode_north_star_50mpix": round(dec["mpix_per_s"] / 50.0, 2),
+            "encode_train_iter_per_sec_hop_512x768": round(enc["it_per_s"], 3),
+            "encode_vs_ref_cpu": round(enc["it_per_s"] / BASELINE_REF_CPU_IT_PER_SEC, 2),
+        },
     }))
 
 

@@ -130,16 +130,37 @@ def _qr_refresh(gg_list, q_list, exp_avg_sq, active):
     return new_qs, exp_avg_sq
 
 
-def soap_init_from_grad_leaf(grad: jnp.ndarray, state: dict, hp: SoapHyperParams) -> dict:
-    """The reference's first step: seed GG with the first gradient, compute
-    the eigenbasis, make NO parameter update. Run once, outside the jitted
-    step loop (keeping eigh and the init branch out of the hot graph)."""
-    active = _precond_dims(grad.shape, hp)
-    gg = _update_gg(state["GG"], grad, active, hp.effective_shampoo_beta)
-    qs = _eigh_qs(gg, active)
+def soap_init_from_grad_leaf(grad, state: dict, hp: SoapHyperParams) -> dict:
+    """The reference's first step (soap.py:254-297, step:163-182): seed GG
+    with the first gradient's covariances, set Q to their eigh eigenbasis
+    (eigenvalues descending), make NO parameter update.
+
+    Runs ONCE per phase on the HOST (numpy eigh on a handful of <= 256
+    matrices) -- this keeps eigh out of every jitted graph, where its TPU
+    compile is pathologically slow. grad may be a host array (fetch only
+    the small weight-leaf gradients, never the latent grads)."""
+    import numpy as np
+
+    g = np.asarray(grad, dtype=np.float32)
+    active = _precond_dims(g.shape, hp)
+    beta = hp.effective_shampoo_beta
+    new_gg, new_q = [], []
+    for i, (gg, a) in enumerate(zip(state["GG"], active)):
+        if not a:
+            new_gg.append(gg)
+            new_q.append(state["Q"][i])
+            continue
+        axes = list(range(g.ndim))
+        axes.remove(i)
+        outer = np.tensordot(g, g, axes=(axes, axes))
+        gg_np = np.asarray(gg, np.float32) * beta + (1.0 - beta) * outer
+        _, q = np.linalg.eigh(gg_np + 1e-30 * np.eye(gg_np.shape[0],
+                                                     dtype=np.float32))
+        new_gg.append(jnp.asarray(gg_np))
+        new_q.append(jnp.asarray(np.flip(q, axis=1).copy()))
     new_state = dict(state)
-    new_state["GG"] = gg
-    new_state["Q"] = qs
+    new_state["GG"] = new_gg
+    new_state["Q"] = new_q
     new_state["initialized"] = jnp.ones((), dtype=jnp.bool_)
     return new_state
 

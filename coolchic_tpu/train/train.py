@@ -14,7 +14,10 @@ patience that reloads the best model when schedule_lr is on).
 from __future__ import annotations
 
 import math
+import os
 import time
+
+import numpy as np
 from dataclasses import dataclass, replace
 from functools import lru_cache
 from typing import Any, Dict, NamedTuple, Optional
@@ -26,7 +29,12 @@ from coolchic_tpu.models.frame import FrameConfig, frame_encoder_forward
 from coolchic_tpu.train.loss import LossOutput, dist_to_db, loss_function
 from coolchic_tpu.train.params import FROZEN, LATENT, WEIGHT, group_tree
 from coolchic_tpu.train.presets import TrainerPhase
-from coolchic_tpu.train.soap import SoapHyperParams, soap_init_leaf, soap_step_leaf
+from coolchic_tpu.train.soap import (
+    SoapHyperParams,
+    soap_init_from_grad_leaf,
+    soap_init_leaf,
+    soap_step_leaf,
+)
 
 ETA_MIN = 1e-5
 
@@ -80,9 +88,13 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
     def eval_fn(params, target, refs, cr):
         return impl["eval_fn"](params, target, refs, cr, lam)
 
+    def grad_fn(params, key, temp, noise, target, refs, cr):
+        return impl["grad_fn"](params, key, temp, noise, target, refs, cr, lam)
+
     out = dict(impl)
     out["train_window"] = train_window
     out["eval_fn"] = eval_fn
+    out["grad_fn"] = grad_fn
     out["lmbda"] = lam
     return out
 
@@ -184,12 +196,6 @@ def _make_fns_impl(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type:
             carry, _ = jax.lax.scan(plain_step, carry, None, length=rem)
         return carry[0], carry[1], carry[2]
 
-    # Note: the reference seeds the SOAP eigenbases with an eigh of the
-    # first gradient's covariance. On this TPU stack the per-leaf eigh is
-    # pathologically slow to compile, so Q starts as identity and the
-    # in-scan QR refresh (power iteration) establishes the eigenbasis at the
-    # first refresh step instead (pf=1 in warm-up -> from step 1).
-
     @jax.jit
     def eval_fn(params, target, refs, cr, lmbda):
         out = frame_encoder_forward(params, fcfg, reference_frames=refs,
@@ -198,6 +204,7 @@ def _make_fns_impl(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type:
                              wasserstein_fn=wd_fn)
 
     return {"train_window": train_window, "eval_fn": eval_fn,
+            "grad_fn": jax.jit(grad_fn),
             "hp_weight": hp_weight, "hp_latent": hp_latent,
             "plain_step": plain_step, "block": _block, "pf": pf}
 
@@ -214,6 +221,25 @@ def init_opt_state(params, hp_weight: SoapHyperParams, hp_latent: SoapHyperParam
         else:
             states.append(soap_init_leaf(p, hp_latent))
     return jax.tree_util.tree_unflatten(treedef, states)
+
+
+def seed_opt_state(params, opt_state, grads, hp_weight: SoapHyperParams):
+    """Reference SOAP first-step semantics (training/soap.py:163-182):
+    seed each WEIGHT leaf's GG with its first gradient and set Q to the
+    eigh eigenbasis; no parameter update. The eigh runs on the host
+    (soap_init_from_grad_leaf); only the small weight-leaf gradients are
+    fetched -- latent gradients never leave the device."""
+    _, treedef = jax.tree_util.tree_flatten(params)
+    groups = group_tree(params)
+    leaves_s = treedef.flatten_up_to(opt_state)
+    leaves_g = treedef.flatten_up_to(grads)
+    out = []
+    for s, g, grp in zip(leaves_s, leaves_g, groups):
+        if grp == WEIGHT and s is not None:
+            out.append(soap_init_from_grad_leaf(np.asarray(g), s, hp_weight))
+        else:
+            out.append(s)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def logs_from_loss(lo: LossOutput) -> EncoderLogs:
@@ -247,6 +273,17 @@ def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
     train_window, eval_fn = fns["train_window"], fns["eval_fn"]
 
     opt_state = init_opt_state(params, fns["hp_weight"], fns["hp_latent"])
+
+    # Reference parity: seed the SOAP eigenbases from the first gradient
+    # (one extra grad eval; the phase's own first step then uses a fresh
+    # gradient, exactly like the reference's skipped first step).
+    if os.environ.get("COOLCHIC_SOAP_SEED", "1") != "0":
+        key, sub = jax.random.split(key)
+        temp0 = linear_schedule(phase.softround_temperature, 0, phase.max_itr)
+        noise0 = linear_schedule(phase.noise_parameter, 0, phase.max_itr)
+        grads0 = fns["grad_fn"](params, sub, jnp.float32(temp0),
+                                jnp.float32(noise0), target, refs, cr)
+        opt_state = seed_opt_state(params, opt_state, grads0, fns["hp_weight"])
 
     best = logs_from_loss(eval_fn(params, target, refs, cr))
     initial = best

@@ -13,7 +13,8 @@ class FlopCountAnalysis:
         return self
 
     def total(self):
-        return 0
+        # nonzero: pretty_string divides complexity shares by the total
+        return 1
 
     def by_module(self):
         class _Zero(dict):

@@ -120,6 +120,9 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
         phase.precondition_frequency_model, phase.freq_valid, False)
     window, eval_b = _make_batched(fns, mesh)
     pf = fns["pf"]
+    # Hoist the (constant) wasserstein target features out of the steps;
+    # identity for mse-only phases. Batched: vgg runs once over [n,3,H,W].
+    targets_b = fns["prep_target"](targets_b)
 
     opt1 = init_opt_state(_index(params_b, 0), fns["hp_weight"], fns["hp_latent"])
     opt_b = jax.tree_util.tree_map(

@@ -113,24 +113,45 @@ def _make_fns_impl(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type:
         b1=betas_latent[0], b2=betas_latent[1], weight_decay=0.0,
         precondition_frequency=1, max_precond_dim=0)
 
-    wd_fn = None
+    wd_feats_fn = None
     if "wasserstein" in dist_weight_d:
         from coolchic_tpu.train.wasserstein import vgg16_features, wasserstein_distortion
 
-        def wd_fn(decoded, target):  # noqa: F811
+        def wd_feats_fn(decoded, tfeats):  # noqa: F811
             dist = 0.0
-            for fa, fb in zip(vgg16_features(decoded),
-                              vgg16_features(jax.lax.stop_gradient(target))):
+            for fa, fb in zip(vgg16_features(decoded), tfeats):
                 dist = dist + wasserstein_distortion(fa, fb)
             return dist
 
+    def prep_target(target):
+        """Hoist the target's (constant) VGG feature pyramid OUT of the
+        training scan: the carried target becomes (image, features) and each
+        step reuses the features instead of re-running VGG16 on the target
+        every iteration. Identity when wasserstein is off."""
+        if wd_feats_fn is None or isinstance(target, tuple):
+            return target
+        from coolchic_tpu.train.wasserstein import vgg16_features
+
+        return (target, tuple(jax.lax.stop_gradient(f)
+                              for f in vgg16_features(target)))
+
+    def _unpack_target(target):
+        if wd_feats_fn is None:
+            return target, None
+        if isinstance(target, tuple):
+            return target
+        return prep_target(target)
+
     def loss_of(params, key, temp, noise, target, refs, cr, lmbda):
+        timg, tfeats = _unpack_target(target)
+        wfn = ((lambda dec, _t: wd_feats_fn(dec, tfeats))
+               if wd_feats_fn is not None else None)
         out = frame_encoder_forward(
             params, fcfg, reference_frames=refs, key=key,
             quantizer_noise_type=quantizer_noise_type, quantizer_type=quantizer_type,
             soft_round_temperature=temp, noise_parameter=noise, training=True, cr=cr)
-        lo = loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda,
-                           wasserstein_fn=wd_fn)
+        lo = loss_function(out.decoded_image, out.rate, timg, dist_weight_d, lmbda,
+                           wasserstein_fn=wfn)
         return lo.loss
 
     grad_fn = jax.grad(loss_of)
@@ -188,7 +209,8 @@ def _make_fns_impl(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type:
     @partial(jax.jit, static_argnames="length")
     def train_window(params, opt_state, key, lr, temp, noise, target, refs, cr,
                      lmbda, length=freq_valid):
-        carry = (params, opt_state, key, lr, temp, noise, target, refs, cr, lmbda)
+        carry = (params, opt_state, key, lr, temp, noise, prep_target(target),
+                 refs, cr, lmbda)
         n_blocks, rem = divmod(length, pf)
         if n_blocks > 0:
             carry, _ = jax.lax.scan(_block, carry, None, length=n_blocks)
@@ -198,15 +220,19 @@ def _make_fns_impl(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type:
 
     @jax.jit
     def eval_fn(params, target, refs, cr, lmbda):
+        timg, tfeats = _unpack_target(target)
+        wfn = ((lambda dec, _t: wd_feats_fn(dec, tfeats))
+               if wd_feats_fn is not None else None)
         out = frame_encoder_forward(params, fcfg, reference_frames=refs,
                                     training=False, cr=cr)
-        return loss_function(out.decoded_image, out.rate, target, dist_weight_d, lmbda,
-                             wasserstein_fn=wd_fn)
+        return loss_function(out.decoded_image, out.rate, timg, dist_weight_d, lmbda,
+                             wasserstein_fn=wfn)
 
     return {"train_window": train_window, "eval_fn": eval_fn,
             "grad_fn": jax.jit(grad_fn),
             "hp_weight": hp_weight, "hp_latent": hp_latent,
-            "plain_step": plain_step, "block": _block, "pf": pf}
+            "plain_step": plain_step, "block": _block, "pf": pf,
+            "prep_target": prep_target}
 
 
 def init_opt_state(params, hp_weight: SoapHyperParams, hp_latent: SoapHyperParams):

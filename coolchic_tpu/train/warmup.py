@@ -46,6 +46,10 @@ def _train_phase_batched(stacked, n: int, ph, fcfg: FrameConfig, target, refs, c
         tuple(ph.betas_model), tuple(ph.betas_latent),
         ph.precondition_frequency_model, ph.freq_valid, refs is not None)
 
+    # Eager, once per phase: hoists the wasserstein target-feature pyramid
+    # out of every step (identity for mse-only phases).
+    target = fns["prep_target"](target)
+
     single = _index(stacked, 0)
     opt1 = init_opt_state(single, fns["hp_weight"], fns["hp_latent"])
     opt = jax.tree_util.tree_map(
@@ -73,7 +77,10 @@ def _train_phase_batched(stacked, n: int, ph, fcfg: FrameConfig, target, refs, c
     eval_b = jax.jit(jax.vmap(lambda p: fns["eval_fn"](p, target, refs, cr)))
 
     best_loss = jnp.asarray(eval_b(stacked).loss)
-    best_params = stacked
+    # `stacked` is DONATED to window_b below; on backends that honor donation
+    # (TPU) the original buffers are deleted by the first window, so the best
+    # snapshot must own copies -- aliasing here reads deleted arrays.
+    best_params = jax.tree_util.tree_map(jnp.copy, stacked)
 
     cnt = 0
     n_windows = math.ceil(ph.max_itr / ph.freq_valid)

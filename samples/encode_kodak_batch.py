@@ -1,0 +1,153 @@
+"""Batched Kodak-set encode: N same-size images x M lambda points, each
+lambda as a few jitted batched programs on one chip.
+
+The reference sweeps the Kodak set with one subprocess per image chained by
+slurm `afterok` (reference samples/encode.py:147-183, _getcodingstruct.py);
+here the image batch IS the program (`parallel/encode_batch.py`), so the
+judged metric is full-encode throughput in img/s/chip INCLUDING warm-up,
+training, NN quantization, RDOQ and bitstream write.
+
+Zero-egress caveat: the only full-size Kodak content in this environment is
+the reference-decoded kodim14 (512x768, tests/data/kodim14_ref_decode.png).
+The 24-image set is therefore built as 24 DISTINCT targets -- 4 spatial
+flips x 6 channel permutations of that image. Every slot overfits its own
+network to genuinely different pixels, so throughput is representative of
+24 arbitrary same-size images (RD numbers stay a recompression task, same
+caveat as results/round1/README.md).
+
+Usage:
+  python samples/encode_kodak_batch.py --n_images 24 --chunk 4 \
+      --n_itr 3000 --lmbdas 1e-3 --out /tmp/kodak_batch
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+KODIM14 = os.path.join(HERE, "tests", "data", "kodim14_ref_decode.png")
+
+
+def build_kodak_targets(n_images: int):
+    """n distinct [1,3,H,W] rgb FrameData variants of kodim14: flips x
+    channel permutations (24 = 4 x 6 unique combinations, then wraps)."""
+    from coolchic_tpu.io.framedata import FrameData
+    from coolchic_tpu.io.io import load_frame_data_from_file
+
+    base = load_frame_data_from_file(KODIM14)
+    img = np.asarray(base.data)  # [1,3,H,W]
+    flips = [(False, False), (True, False), (False, True), (True, True)]
+    perms = list(itertools.permutations(range(3)))
+    frames, names = [], []
+    for i in range(n_images):
+        fv, fh = flips[(i // 6) % 4]
+        perm = perms[i % 6]
+        v = img[:, list(perm)]
+        if fv:
+            v = v[:, :, ::-1]
+        if fh:
+            v = v[:, :, :, ::-1]
+        frames.append(FrameData(base.bitdepth, "rgb", np.ascontiguousarray(v)))
+        names.append(f"kodim14_p{''.join(map(str, perm))}"
+                     f"{'_fv' if fv else ''}{'_fh' if fh else ''}")
+    return frames, names
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_images", type=int, default=24)
+    ap.add_argument("--chunk", type=int, default=4,
+                    help="images per jitted batch (activation-memory bound)")
+    ap.add_argument("--n_itr", type=int, default=3000)
+    ap.add_argument("--start_lr", type=float, default=1e-2)
+    ap.add_argument("--lmbdas", default="1e-3",
+                    help="comma-separated lambda list")
+    ap.add_argument("--op", default="hop", help="intra operating point")
+    ap.add_argument("--profile", default="ref", choices=["ref", "tpu"])
+    ap.add_argument("--no_rdoq", action="store_true")
+    ap.add_argument("--out", default="/tmp/kodak_batch")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--crop", default="",
+                    help="HxW center crop for smoke tests, e.g. 64x96")
+    ap.add_argument("--recipe", default="intra", choices=["intra", "debug"])
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from coolchic_tpu.parallel.encode_batch import encode_images_batched
+    from coolchic_tpu.train.presets import PresetDebug, PresetIntra
+    from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
+
+    frames, names = build_kodak_targets(args.n_images)
+    if args.crop:
+        ch, cw = (int(x) for x in args.crop.split("x"))
+        for fr in frames:
+            hh, ww = fr.img_size
+            y0, x0 = (hh - ch) // 2, (ww - cw) // 2
+            fr.data = np.ascontiguousarray(
+                fr.data[:, :, y0:y0 + ch, x0:x0 + cw])
+    h, w = frames[0].img_size
+    cfgs = {"residue": coolchic_config_from_args(
+        INTRA_OPERATING_POINTS[args.op], (h, w))}
+    os.makedirs(args.out, exist_ok=True)
+    lmbdas = [float(x) for x in args.lmbdas.split(",")]
+
+    tsv = os.path.join(args.out, "image-kodak-batch.tsv")
+    new = not os.path.exists(tsv)
+    rows = 0
+    t_all = time.time()
+    n_done = 0
+    with open(tsv, "a") as f:
+        if new:
+            f.write("lmbda\tseq_name\tpsnr_db\trate_bpp\tn_bytes\tn_pixels\t"
+                    "chunk_s\timg_per_s_chunk\n")
+        for lmbda in lmbdas:
+            mk = PresetIntra if args.recipe == "intra" else PresetDebug
+            preset = mk(lmbda=lmbda, start_lr=args.start_lr,
+                        itr_main_training=args.n_itr)
+            for c0 in range(0, len(frames), args.chunk):
+                chunk = frames[c0:c0 + args.chunk]
+                cnames = names[c0:c0 + args.chunk]
+                outs = [os.path.join(args.out, f"{n}_l{lmbda:g}.cool")
+                        for n in cnames]
+                t0 = time.time()
+                res = encode_images_batched(chunk, cfgs, preset, outs,
+                                            seed=c0, verbose=True,
+                                            rdoq=not args.no_rdoq,
+                                            profile=args.profile)
+                dt = time.time() - t0
+                for r, n in zip(res, cnames):
+                    f.write(f"{lmbda:g}\t{n}\t{r['psnr_db']:.4f}\t"
+                            f"{r['rate_bpp']:.6f}\t{r['n_bytes']}\t"
+                            f"{r['n_pixels']}\t{dt:.1f}\t"
+                            f"{len(res) / dt:.4f}\n")
+                    rows += 1
+                f.flush()
+                n_done += len(res)
+                print(f"[{n_done}/{len(frames) * len(lmbdas)}] lmbda {lmbda:g} "
+                      f"chunk {c0 // args.chunk}: {len(res)} imgs in {dt:.1f}s "
+                      f"= {len(res) / dt:.3f} img/s", flush=True)
+
+    wall = time.time() - t_all
+    print(f"TOTAL {n_done} full encodes (n_itr={args.n_itr}, "
+          f"{'no ' if args.no_rdoq else ''}rdoq) in {wall:.1f}s = "
+          f"{n_done / wall:.4f} img/s/chip -> {tsv}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,8 @@ import os
 import time
 
 import numpy as np
-from dataclasses import dataclass, replace
+from contextlib import contextmanager
+from dataclasses import dataclass, field, replace
 from functools import lru_cache
 from typing import Any, Dict, NamedTuple, Optional
 
@@ -60,8 +61,41 @@ class EncoderLogs(NamedTuple):
 
 @dataclass
 class EncoderMonitor:
+    """Per-encode bookkeeping (reference utils/misc.py TrainingExitCode /
+    training timing prints): iteration counts, wall-clock per pipeline phase,
+    and the chip's peak HBM use when the backend reports it."""
+
     total_training_time_sec: float = 0.0
     iterations_counter: int = 0
+    phase_time_sec: dict = field(default_factory=dict)
+    peak_device_bytes: int = 0
+
+    @contextmanager
+    def timed(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            dt = time.time() - t0
+            self.phase_time_sec[name] = self.phase_time_sec.get(name, 0.0) + dt
+            self.sample_device_memory()
+
+    def sample_device_memory(self):
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = int(stats.get("peak_bytes_in_use", 0))
+            self.peak_device_bytes = max(self.peak_device_bytes, peak)
+        except Exception:
+            pass  # backend without memory_stats (e.g. remote tunnel)
+
+    def report(self) -> str:
+        total = sum(self.phase_time_sec.values())
+        lines = [f"  {k:<18} {v:8.1f}s ({100 * v / total:4.1f}%)"
+                 for k, v in self.phase_time_sec.items()]
+        if self.peak_device_bytes:
+            lines.append(f"  peak device mem    {self.peak_device_bytes / 2**20:.0f} MiB")
+        lines.append(f"  iterations         {self.iterations_counter}")
+        return "\n".join(lines)
 
 
 # ---------------------------------------------------------------------------

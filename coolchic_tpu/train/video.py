@@ -203,15 +203,17 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
         # gone -- chunking replaces it).
         wu = warmup_batched if (jax.default_backend() != "cpu"
                                 and len(candidates) > 1) else warmup
-        params = wu(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
-                    key=key, monitor=monitor, verbose=verbose)
+        with monitor.timed("warmup"):
+            params = wu(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
+                        key=key, monitor=monitor, verbose=verbose)
     else:
         params = candidates[0]
 
     for idx, phase in enumerate(preset.training_phases):
         key, sub = jax.random.split(key)
-        params = train(params, fcfg, target, phase, refs=refs_arg, cr=cr, key=sub,
-                       monitor=monitor, verbose=verbose)
+        with monitor.timed(f"train_phase_{idx}"):
+            params = train(params, fcfg, target, phase, refs=refs_arg, cr=cr,
+                           key=sub, monitor=monitor, verbose=verbose)
 
     # ----- NN quantization per cool-chic.
     phase0 = preset.training_phases[-1]
@@ -228,19 +230,21 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
             lo = eval_fn(trial, target, refs_arg, cr)
             return float(lo.loss) + phase0.lmbda * total_nn_bits / n_pixels
 
-        q_params, q_shift, expgol, nn_bits = quantize_coolchic(
-            params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, phase0.lmbda,
-            n_pixels, verbose=verbose)
+        with monitor.timed("nn_quantize"):
+            q_params, q_shift, expgol, nn_bits = quantize_coolchic(
+                params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, phase0.lmbda,
+                n_pixels, verbose=verbose)
         if rdoq:
             from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 
             rdoq_target = (_dense(fdata) if frame.frame_type == "I"
                            and cc_name == "residue" else None)
-            q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift, expgol,
-                                     phase0.lmbda, target=rdoq_target,
-                                     frame_type=frame.frame_type,
-                                     frame_data_type=fdata.frame_data_type,
-                                     bitdepth=fdata.bitdepth, verbose=verbose)
+            with monitor.timed("rdoq"):
+                q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift,
+                                         expgol, phase0.lmbda, target=rdoq_target,
+                                         frame_type=frame.frame_type,
+                                         frame_data_type=fdata.frame_data_type,
+                                         bitdepth=fdata.bitdepth, verbose=verbose)
         params = dict(params)
         params[cc_name] = q_params
         nn_side_info[cc_name] = (q_shift, expgol)
@@ -248,7 +252,8 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
     if verbose:
         print(f"frame {frame.frame_type}{frame.display_order}: "
               f"{monitor.iterations_counter} iters, "
-              f"{monitor.total_training_time_sec:.1f}s training", flush=True)
+              f"{monitor.total_training_time_sec:.1f}s training\n"
+              + monitor.report(), flush=True)
 
     from coolchic_tpu.utils.checkpoint import save_frame_encoder
 

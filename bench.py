@@ -163,23 +163,87 @@ def bench_encode() -> dict:
     return {"it_per_s": N_TIMED_ITERS / dt}
 
 
+# Reference FULL encode per image at the same recipe (hop 512x768,
+# n_itr=2000 + 350 warm-up candidate-iterations, NN quantize + RDOQ), this
+# host's CPU: 2350 its / 0.51 it/s + ~300 s quantize/RDOQ ~= 4900 s/image.
+BASELINE_REF_CPU_FULL_ENCODE_S = 4900.0
+
+
+def bench_full_encode(n_images: int = 2, n_itr: int = 2000) -> dict:
+    """End-to-end batched encode throughput: warm-up tournament + training +
+    NN quantization + RDOQ + bitstream write for a batch of distinct
+    512x768 images as one program (parallel/encode_batch.py). Skippable with
+    COOLCHIC_BENCH_FULL=0 (the decode headline stays the driver metric)."""
+    import tempfile
+
+    from samples.encode_kodak_batch import build_kodak_targets
+    from coolchic_tpu.parallel.encode_batch import encode_images_batched
+    from coolchic_tpu.train.presets import PresetIntra
+    from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
+
+    frames, _ = build_kodak_targets(n_images)
+    h, w = frames[0].img_size
+    cfgs = {"residue": coolchic_config_from_args(INTRA_OPERATING_POINTS["hop"], (h, w))}
+    preset = PresetIntra(lmbda=1e-3, start_lr=1e-2, itr_main_training=n_itr)
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"b{i}.cool") for i in range(n_images)]
+        t0 = time.time()
+        res = encode_images_batched(frames, cfgs, preset, outs, verbose=False)
+        dt = time.time() - t0
+    return {
+        "img_per_s": n_images / dt,
+        "s_per_img": dt / n_images,
+        "psnr_db": sum(r["psnr_db"] for r in res) / n_images,
+        "rate_bpp": sum(r["rate_bpp"] for r in res) / n_images,
+        "n_itr": n_itr,
+    }
+
+
 def main():
     dec = bench_decode()
     enc = bench_encode()
+    extra = {
+        "decode_single_batch_ms": round(dec["single_batch_ms"], 1),
+        "decode_bit_exact": dec["bit_exact"],
+        "decode_north_star_50mpix": round(dec["mpix_per_s"] / 50.0, 2),
+        "encode_train_iter_per_sec_hop_512x768": round(enc["it_per_s"], 3),
+        "encode_vs_ref_cpu": round(enc["it_per_s"] / BASELINE_REF_CPU_IT_PER_SEC, 2),
+    }
+    if os.environ.get("COOLCHIC_BENCH_FULL", "1") != "0":
+        # In a SUBPROCESS: a fresh remote compile of the batched 512x768 hop
+        # window can OOM-kill the worker; the headline metric must survive.
+        import subprocess
+        import sys
+
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--full-encode-only"],
+                capture_output=True, text=True, timeout=3000,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            full = json.loads(out.stdout.strip().splitlines()[-1])
+            extra.update({
+                "encode_full_img_per_s_b2_n2000": round(full["img_per_s"], 5),
+                "encode_full_s_per_img": round(full["s_per_img"], 1),
+                "encode_full_vs_ref_cpu": round(
+                    full["img_per_s"] * BASELINE_REF_CPU_FULL_ENCODE_S, 1),
+                "encode_full_psnr_db": round(full["psnr_db"], 3),
+                "encode_full_rate_bpp": round(full["rate_bpp"], 4),
+            })
+        except Exception as e:  # timeout, crash, bad output -- keep headline
+            extra["encode_full_error"] = str(e)[:200]
     print(json.dumps({
         "metric": "decode_mpix_per_s_hop_512x768_x8",
         "value": round(dec["mpix_per_s"], 2),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(dec["mpix_per_s"] / BASELINE_REF_DECODE_MPIX_S, 1),
-        "extra": {
-            "decode_single_batch_ms": round(dec["single_batch_ms"], 1),
-            "decode_bit_exact": dec["bit_exact"],
-            "decode_north_star_50mpix": round(dec["mpix_per_s"] / 50.0, 2),
-            "encode_train_iter_per_sec_hop_512x768": round(enc["it_per_s"], 3),
-            "encode_vs_ref_cpu": round(enc["it_per_s"] / BASELINE_REF_CPU_IT_PER_SEC, 2),
-        },
+        "extra": extra,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--full-encode-only" in sys.argv:
+        print(json.dumps(bench_full_encode()))
+    else:
+        main()

@@ -38,12 +38,22 @@ def best_expgol(symbols: np.ndarray) -> tuple[int, float]:
     return best_cnt, best_rate
 
 
-def _set_module_params(params: dict, cfg: CoolChicConfig, module: str,
-                       new_w: list[np.ndarray], new_b: list[np.ndarray]) -> dict:
-    """Return a copy of `params` with one module's arrays replaced."""
-    import copy
+def _structure_copy(x):
+    """Copy the dict/list CONTAINERS of a pytree, sharing the leaves --
+    tracer-safe (no deepcopy of arrays), so a trial tree can be built inside
+    a traced function."""
+    if isinstance(x, dict):
+        return {k: _structure_copy(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_structure_copy(v) for v in x]
+    return x
 
-    out = copy.deepcopy({k: v for k, v in params.items()})
+
+def _set_module_params(params: dict, cfg: CoolChicConfig, module: str,
+                       new_w: list, new_b: list) -> dict:
+    """Return a copy of `params` with one module's arrays replaced
+    (leaves shared with the input except the replaced module's)."""
+    out = _structure_copy(params)
     unflatten_module_params([jnp.asarray(a) for a in new_w], cfg, module, "weight", out)
     unflatten_module_params([jnp.asarray(a) for a in new_b], cfg, module, "bias", out)
     return out
@@ -51,14 +61,22 @@ def _set_module_params(params: dict, cfg: CoolChicConfig, module: str,
 
 def quantize_coolchic(cc_params: dict, cfg: CoolChicConfig,
                       eval_loss: Callable[[dict, float], float],
-                      lmbda: float, n_pixels: int, verbose: bool = False
+                      lmbda: float, n_pixels: int, verbose: bool = False,
+                      eval_tree=None
                       ) -> tuple[dict, Dict[tuple, int], Dict[tuple, int], float]:
     """Quantize one cool-chic decoder's four modules.
 
     eval_loss(cc_params, total_rate_nn_bit) -> scalar RD loss (host float).
 
+    eval_tree (optional): TRACEABLE cc_params-tree -> RD loss (WITHOUT the nn
+    rate term). When given, each module's whole (q_w x q_b) grid is scored as
+    ONE lax.map program on device (~4 device calls per decoder instead of
+    ~650 host round-trips -- the round-trips dominate on a remote TPU).
+
     Returns (quantized params, q_step_shift dict, expgol dict, nn rate bits).
     """
+    import jax
+
     q_shift: Dict[tuple, int] = {}
     expgol: Dict[tuple, int] = {}
     nn_rate_bits: Dict[str, float] = {m: 0.0 for m in MODULE_ORDER}
@@ -76,7 +94,9 @@ def quantize_coolchic(cc_params: dict, cfg: CoolChicConfig,
             expgol[(module, "bias")] = 0
             continue
 
-        best = (float("inf"), None, None, None, None)  # loss, sw, sb, eg, rate
+        # Host side per combo: validity (16-bit magnitude cap) + exp-Golomb
+        # rate of the integerized params.
+        combos = []  # (shift_w, shift_b, (eg_w, eg_b), module_rate, total_nn_rate)
         for shift_w, shift_b in itertools.product(
                 Q_STEP_SHIFTS[(module, "weight")], Q_STEP_SHIFTS[(module, "bias")]):
             qs_w, qs_b = 2.0**shift_w, 2.0**shift_b
@@ -84,18 +104,38 @@ def quantize_coolchic(cc_params: dict, cfg: CoolChicConfig,
             int_b = [np.round(a / qs_b) for a in fp_b]
             if any(np.abs(a).max(initial=0) > MAX_Q_VALUE for a in int_w + int_b):
                 continue
-            q_w = [a * qs_w for a in int_w]
-            q_b = [a * qs_b for a in int_b]
-
             eg_w, rate_w = best_expgol(np.concatenate([a.ravel() for a in int_w]))
             eg_b, rate_b = best_expgol(np.concatenate([a.ravel() for a in int_b]))
             module_rate = rate_w + rate_b
             total_nn_rate = sum(nn_rate_bits.values()) - nn_rate_bits[module] + module_rate
+            combos.append((shift_w, shift_b, (eg_w, eg_b), module_rate, total_nn_rate))
+        assert combos, f"no valid q-step for module {module}"
 
-            cand = _set_module_params(params, cfg, module, q_w, q_b)
-            loss = eval_loss(cand, total_nn_rate)
-            if loss < best[0]:
-                best = (loss, shift_w, shift_b, (eg_w, eg_b), module_rate)
+        if eval_tree is not None:
+            fpw_j = [jnp.asarray(a) for a in fp_w]
+            fpb_j = [jnp.asarray(a) for a in fp_b]
+            qs = jnp.asarray([[2.0**c[0], 2.0**c[1]] for c in combos], jnp.float32)
+
+            def _body(q, _fw=fpw_j, _fb=fpb_j, _module=module):
+                w_q = [jnp.round(a / q[0]) * q[0] for a in _fw]
+                b_q = [jnp.round(a / q[1]) * q[1] for a in _fb]
+                return eval_tree(_set_module_params(params, cfg, _module, w_q, b_q))
+
+            losses = np.asarray(jax.lax.map(_body, qs), np.float64)
+            totals = losses + lmbda * np.asarray(
+                [c[4] for c in combos], np.float64) / n_pixels
+            k = int(np.argmin(totals))
+            best = (totals[k], combos[k][0], combos[k][1], combos[k][2], combos[k][3])
+        else:
+            best = (float("inf"), None, None, None, None)  # loss, sw, sb, eg, rate
+            for shift_w, shift_b, eg, module_rate, total_nn_rate in combos:
+                qs_w, qs_b = 2.0**shift_w, 2.0**shift_b
+                q_w = [np.round(a / qs_w) * qs_w for a in fp_w]
+                q_b = [np.round(a / qs_b) * qs_b for a in fp_b]
+                cand = _set_module_params(params, cfg, module, q_w, q_b)
+                loss = eval_loss(cand, total_nn_rate)
+                if loss < best[0]:
+                    best = (loss, shift_w, shift_b, eg, module_rate)
 
         assert best[1] is not None, f"no valid q-step for module {module}"
         _, shift_w, shift_b, (eg_w, eg_b), module_rate = best

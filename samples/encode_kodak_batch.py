@@ -64,6 +64,8 @@ def build_kodak_targets(n_images: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_images", type=int, default=24)
+    ap.add_argument("--first_image", type=int, default=0,
+                    help="start at this image index (resume a partial sweep)")
     ap.add_argument("--chunk", type=int, default=4,
                     help="images per jitted batch (activation-memory bound)")
     ap.add_argument("--n_itr", type=int, default=3000)
@@ -93,7 +95,8 @@ def main():
     from coolchic_tpu.train.presets import PresetDebug, PresetIntra
     from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
 
-    frames, names = build_kodak_targets(args.n_images)
+    frames, names = build_kodak_targets(args.first_image + args.n_images)
+    frames, names = frames[args.first_image:], names[args.first_image:]
     if args.crop:
         ch, cw = (int(x) for x in args.crop.split("x"))
         for fr in frames:

@@ -59,23 +59,45 @@ def _set_module_params(params: dict, cfg: CoolChicConfig, module: str,
     return out
 
 
+def _grid_losses(eval_with_ctx, cfg, module, ctx, cc_params, fpw, fpb, qs):
+    """Score a module's whole q-step grid as ONE jitted lax.map program.
+
+    Everything per-image (ctx, cc_params, float leaves) is an ARGUMENT, not a
+    trace-time closure constant, so the compiled program contains no
+    per-image literals: one XLA compile per (config, module) serves every
+    image of the sweep."""
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("_fn", "_cfg", "_mod"))
+    def run(_fn, _cfg, _mod, _ctx, _cc, _fw, _fb, _qs):
+        def body(q):
+            w_q = [jnp.round(a / q[0]) * q[0] for a in _fw]
+            b_q = [jnp.round(a / q[1]) * q[1] for a in _fb]
+            return _fn(_ctx, _set_module_params(_cc, _cfg, _mod, w_q, b_q))
+
+        return jax.lax.map(body, _qs)
+
+    return run(eval_with_ctx, cfg, module, ctx, cc_params, fpw, fpb, qs)
+
+
 def quantize_coolchic(cc_params: dict, cfg: CoolChicConfig,
                       eval_loss: Callable[[dict, float], float],
                       lmbda: float, n_pixels: int, verbose: bool = False,
-                      eval_tree=None
+                      eval_with_ctx=None, eval_ctx=None
                       ) -> tuple[dict, Dict[tuple, int], Dict[tuple, int], float]:
     """Quantize one cool-chic decoder's four modules.
 
     eval_loss(cc_params, total_rate_nn_bit) -> scalar RD loss (host float).
 
-    eval_tree (optional): TRACEABLE cc_params-tree -> RD loss (WITHOUT the nn
-    rate term). When given, each module's whole (q_w x q_b) grid is scored as
-    ONE lax.map program on device (~4 device calls per decoder instead of
+    eval_with_ctx (optional): TRACEABLE (ctx_pytree, cc_params_tree) -> RD
+    loss WITHOUT the nn rate term, where ctx is the per-image data pytree
+    passed via eval_ctx. When given, each module's whole (q_w x q_b) grid is
+    scored as ONE device program (~4 device calls per decoder instead of
     ~650 host round-trips -- the round-trips dominate on a remote TPU).
 
     Returns (quantized params, q_step_shift dict, expgol dict, nn rate bits).
     """
-    import jax
 
     q_shift: Dict[tuple, int] = {}
     expgol: Dict[tuple, int] = {}
@@ -111,17 +133,12 @@ def quantize_coolchic(cc_params: dict, cfg: CoolChicConfig,
             combos.append((shift_w, shift_b, (eg_w, eg_b), module_rate, total_nn_rate))
         assert combos, f"no valid q-step for module {module}"
 
-        if eval_tree is not None:
-            fpw_j = [jnp.asarray(a) for a in fp_w]
-            fpb_j = [jnp.asarray(a) for a in fp_b]
+        if eval_with_ctx is not None:
+            fpw_j = tuple(jnp.asarray(a) for a in fp_w)
+            fpb_j = tuple(jnp.asarray(a) for a in fp_b)
             qs = jnp.asarray([[2.0**c[0], 2.0**c[1]] for c in combos], jnp.float32)
-
-            def _body(q, _fw=fpw_j, _fb=fpb_j, _module=module):
-                w_q = [jnp.round(a / q[0]) * q[0] for a in _fw]
-                b_q = [jnp.round(a / q[1]) * q[1] for a in _fb]
-                return eval_tree(_set_module_params(params, cfg, _module, w_q, b_q))
-
-            losses = np.asarray(jax.lax.map(_body, qs), np.float64)
+            losses = np.asarray(_grid_losses(eval_with_ctx, cfg, module, eval_ctx,
+                                             params, fpw_j, fpb_j, qs), np.float64)
             totals = losses + lmbda * np.asarray(
                 [c[4] for c in combos], np.float64) / n_pixels
             k = int(np.argmin(totals))

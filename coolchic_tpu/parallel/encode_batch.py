@@ -258,14 +258,16 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
                 lo = eval_fn(trial, _t, None, None)
                 return float(lo.loss) + phase0.lmbda * total_nn_bits / n_pixels
 
-            def eval_tree(cc_params, _name=cc_name, _p=params, _t=target):
-                trial = dict(_p)
-                trial[_name] = cc_params
-                return eval_fn(trial, _t, None, None).loss
+            def eval_with_ctx(ctx, cc_trial, _name=cc_name):
+                full, tgt = ctx
+                trial = dict(full)
+                trial[_name] = cc_trial
+                return eval_fn(trial, tgt, None, None).loss
 
             q_params, q_shift, expgol, _ = quantize_coolchic(
                 params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, phase0.lmbda,
-                n_pixels, verbose=False, eval_tree=eval_tree)
+                n_pixels, verbose=False, eval_with_ctx=eval_with_ctx,
+                eval_ctx=(params, target))
             if rdoq:
                 from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 

@@ -230,16 +230,19 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
             lo = eval_fn(trial, target, refs_arg, cr)
             return float(lo.loss) + phase0.lmbda * total_nn_bits / n_pixels
 
-        def eval_tree(cc_params, _name=cc_name):
-            # traceable grid scorer (one lax.map over the whole q-step grid)
-            trial = dict(params)
-            trial[_name] = cc_params
-            return eval_fn(trial, target, refs_arg, cr).loss
+        def eval_with_ctx(ctx, cc_trial, _name=cc_name):
+            # traceable grid scorer: all per-image data arrives via ctx (jit
+            # ARGS, so one compile per (config, module) serves every image)
+            full, tgt, refs_c, cr_c = ctx
+            trial = dict(full)
+            trial[_name] = cc_trial
+            return eval_fn(trial, tgt, refs_c, cr_c).loss
 
         with monitor.timed("nn_quantize"):
             q_params, q_shift, expgol, nn_bits = quantize_coolchic(
                 params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, phase0.lmbda,
-                n_pixels, verbose=verbose, eval_tree=eval_tree)
+                n_pixels, verbose=verbose, eval_with_ctx=eval_with_ctx,
+                eval_ctx=(params, target, refs_arg, cr))
         if rdoq:
             from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 

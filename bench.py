@@ -214,8 +214,11 @@ def main():
     # n_itr=2000, incl. warm-up + NN quantize + RDOQ + bitstream): the RDOQ
     # tail dominates (~10 min/image, ROADMAP_r3 item 1), so the live re-run
     # is OPT-IN (COOLCHIC_BENCH_FULL=1) to keep the driver bench bounded.
-    extra["encode_full_img_per_s_measured_r2"] = 0.0009
-    extra["encode_full_note"] = ("in-round batched sweep incl rdoq, "
+    extra["encode_full_img_per_s_measured_r2"] = 0.00077
+    extra["encode_full_vs_ref_cpu_measured_r2"] = round(
+        0.00077 * BASELINE_REF_CPU_FULL_ENCODE_S, 1)
+    extra["encode_full_note"] = ("warm-cache batch-3 512x768 hop, n_itr=2000, "
+                                 "incl warmup+quantize+rdoq+bitstream; "
                                  "results/round2/image-kodak-batch.tsv")
     if os.environ.get("COOLCHIC_BENCH_FULL", "0") == "1":
         # In a SUBPROCESS: a fresh remote compile of the batched 512x768 hop

@@ -266,9 +266,140 @@ def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
 # ---------------------------------------------------------------------------
 # Chunked parallel-greedy sweep.
 # ---------------------------------------------------------------------------
-def _sweep(scorer, flat_w: np.ndarray, flat_b: np.ndarray, wb: str,
-           shifts: tuple, q: float, acts: tuple, chunk: int, rng,
-           verbose: bool, tag: str) -> tuple[np.ndarray, np.ndarray]:
+def _sweep_device(scorer, flat_w: np.ndarray, flat_b: np.ndarray, wb: str,
+                  shifts: tuple, q: float, acts: tuple, chunk: int, rng,
+                  verbose: bool, tag: str) -> tuple[np.ndarray, np.ndarray]:
+    """The whole greedy sweep as ONE device program: a lax.scan over chunks
+    carrying the edited flat vector, with the host loop's joint-apply /
+    regression-rollback semantics reproduced in-graph. On a remote TPU this
+    replaces ~n/chunk host round-trips (each ~0.3-0.5 s) with one call.
+
+    Differences vs the host loop (_sweep_host): comparisons run in f32 on
+    device (the host loop casts the same f32 scores to f64 and adds a 1e-9
+    epsilon to the rollback check -- sub-ulp at typical loss magnitudes, so
+    decisions agree except on exact ties)."""
+    import functools
+
+    flat = (flat_w if wb == "weight" else flat_b).copy()
+    n = flat.size
+    if n == 0:
+        return flat_w, flat_b
+    order = rng.permutation(n)
+    shifts_np = np.asarray(shifts, np.float32) * np.float32(q)
+    zero_col = int(np.argwhere(np.asarray(shifts) == 0)[0, 0])
+    C = len(shifts)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    # padded rows point OUT OF BOUNDS (index n): their probe lanes are
+    # masked and their scatter writes dropped (mode="drop"), so they can
+    # never collide with a real scalar's edit
+    idxs_all = np.concatenate([order, np.full(pad, n, order.dtype)]
+                              ).reshape(n_chunks, chunk).astype(np.int32)
+    valid_all = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]
+                               ).reshape(n_chunks, chunk)
+    max_q = np.float32(65535)
+
+    fixed = jnp.asarray(flat_b if wb == "weight" else flat_w)
+
+    @functools.partial(jax.jit, static_argnames=("_scorer",))
+    def run_all(_scorer, flat0, idxs_a, valid_a, shifts_a, *acts_a):
+        def probe(f, idxs):
+            vals = f.at[idxs].get(mode="clip")[:, None] + shifts_a[None, :]
+            fw = f if wb == "weight" else fixed
+            fb = fixed if wb == "weight" else f
+            losses = _scorer(fw, fb, idxs, vals, *acts_a)
+            losses = jnp.where(jnp.abs(jnp.round(vals / q)) > max_q,
+                               jnp.inf, losses)
+            return losses, vals
+
+        def step(carry, xs):
+            idxs, valid = xs
+            (f, have_prev, p_f, p_losses, p_idxs, p_vals, p_base,
+             n_changed) = carry
+            losses, vals = probe(f, idxs)
+            cur_base = losses[0, zero_col]
+            regressed = have_prev & (cur_base > p_base)
+
+            def rollback(_):
+                k = jnp.argmin(p_losses)
+                r, c = k // C, k % C
+                better = p_losses[r, c] < p_base
+                f2 = jnp.where(
+                    better,
+                    p_f.at[p_idxs[r]].set(p_vals[r, c]), p_f)
+                l2, v2 = probe(f2, idxs)
+                return f2, l2, v2, l2[0, zero_col]
+
+            def keep(_):
+                return f, losses, vals, cur_base
+
+            f, losses, vals, base = jax.lax.cond(regressed, rollback, keep, None)
+            losses_m = jnp.where(valid[:, None], losses, jnp.inf)
+
+            best_c = jnp.argmin(losses_m, axis=1)
+            row_best = jnp.take_along_axis(losses_m, best_c[:, None], axis=1)[:, 0]
+            improve = (row_best < base) & (best_c != zero_col) & valid
+            any_improve = jnp.any(improve)
+            picked = jnp.take_along_axis(vals, best_c[:, None], axis=1)[:, 0]
+            f_before = f
+            f = f.at[idxs].set(jnp.where(improve, picked, f.at[idxs].get(mode="clip")),
+                               mode="drop")
+            n_changed = n_changed + jnp.sum(improve.astype(jnp.int32))
+
+            sel = lambda a, b: jnp.where(any_improve, a, b)
+            carry = (f, any_improve,
+                     sel(f_before, p_f), sel(losses_m, p_losses),
+                     jnp.where(any_improve, idxs, p_idxs),
+                     sel(vals, p_vals), jnp.where(any_improve, base, p_base),
+                     n_changed)
+            return carry, None
+
+        carry0 = (flat0, jnp.asarray(False),
+                  flat0, jnp.full((chunk, C), jnp.inf, jnp.float32),
+                  jnp.zeros(chunk, jnp.int32),
+                  jnp.zeros((chunk, C), jnp.float32), jnp.float32(jnp.inf),
+                  jnp.int32(0))
+        carry, _ = jax.lax.scan(step, carry0, (idxs_a, valid_a))
+        (f, have_prev, p_f, p_losses, p_idxs, p_vals, p_base, n_changed) = carry
+
+        # final verification probe (host loop's trailing base check)
+        losses, _ = probe(f, idxs_a[0])
+        regressed = have_prev & (losses[0, zero_col] > p_base)
+
+        def rollback(_):
+            k = jnp.argmin(p_losses)
+            r, c = k // C, k % C
+            return jnp.where(p_losses[r, c] < p_base,
+                             p_f.at[p_idxs[r]].set(p_vals[r, c]), p_f)
+
+        f = jax.lax.cond(regressed, rollback, lambda _: f, None)
+        return f, n_changed
+
+    out, n_changed = run_all(scorer, jnp.asarray(flat), jnp.asarray(idxs_all),
+                             jnp.asarray(valid_all), jnp.asarray(shifts_np),
+                             *acts)
+    flat = np.asarray(out)
+    if verbose:
+        print(f"  rdoq {tag}: {int(n_changed)}/{n} scalars adjusted", flush=True)
+    if wb == "weight":
+        return flat, flat_b
+    return flat_w, flat
+
+
+def _sweep(scorer, flat_w, flat_b, wb, shifts, q, acts, chunk, rng,
+           verbose, tag):
+    import os
+
+    if os.environ.get("COOLCHIC_RDOQ_HOST", "0") == "1":
+        return _sweep_host(scorer, flat_w, flat_b, wb, shifts, q, acts, chunk,
+                           rng, verbose, tag)
+    return _sweep_device(scorer, flat_w, flat_b, wb, shifts, q, acts, chunk,
+                         rng, verbose, tag)
+
+
+def _sweep_host(scorer, flat_w: np.ndarray, flat_b: np.ndarray, wb: str,
+                shifts: tuple, q: float, acts: tuple, chunk: int, rng,
+                verbose: bool, tag: str) -> tuple[np.ndarray, np.ndarray]:
     """Greedy coordinate refinement of flat_<wb>: chunks of `chunk` scalars,
     every (scalar, shift) scored in one device call, per-scalar argmins
     applied jointly, regression (checked against the next chunk's free

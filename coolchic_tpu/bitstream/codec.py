@@ -289,7 +289,10 @@ def decode_coolchic_batched(items: list[tuple[CoolChicHeader, bytes, bytes]]
 
             int32_ok = arm8_bounds_ok(s["arm"],
                                       _arm8_in_bound(s["arm"], ifce_ctx))
-            if use_pallas and int32_ok and n_streams == 128 and 9 < w_i <= 1270:
+            n_ifce_route = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])
+            from coolchic_tpu.ops.pallas_decode import kernel_eligible
+            if use_pallas and int32_ok and n_streams == 128 \
+                    and kernel_eligible(h_i, w_i, n_ifce_route):
                 dims = tuple((int(wm.shape[0]), int(wm.shape[1]))
                              for wm in s["arm"]["trunk_weights"])
                 n_ifce = 0 if ifce_ctx is None else int(ifce_ctx.shape[-1])

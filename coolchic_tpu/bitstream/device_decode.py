@@ -302,12 +302,13 @@ class DeviceBatch:
         G = len(states)
         self.G = G
 
-        # which levels the kernel covers (128 streams, width in range)
+        # which levels the kernel covers (128 streams, VMEM-feasible shape)
+        n_ifce_route = cfg.output_feature_ifce if cfg.flag_ifce else 0
         self.device_levels = []
         for level in range(cfg.n_latent_grids - 1, -1, -1):
-            w_i = cfg.size_per_latent[level][1]
+            h_i, w_i = cfg.size_per_latent[level]
             n_str = st0["blocks"][level]["n_streams"]
-            if n_str == LANES and 9 < w_i <= 1270:
+            if n_str == LANES and pdk.kernel_eligible(h_i, w_i, n_ifce_route):
                 self.device_levels.append(level)
         self.device_levels = tuple(self.device_levels)
         # Host levels decode BEFORE the device program runs, so every device

@@ -158,6 +158,6 @@ def coolchic_forward(params: dict, cfg: CoolChicConfig, *,
     dense = upsampling_apply(params["upsampling"], syn_grids, cfg.ups_k_size,
                              cfg.ups_preconcat_k_size, training)
     syn_in = synthesis_input(cfg, dense, cr, no_cr=no_cr, only_cr=only_cr)
-    syn_out = synthesis_apply(params["synthesis"], cfg, syn_in)
+    syn_out = synthesis_apply(params["synthesis"], cfg, syn_in, training=training)
     raw_out = interpolate(syn_out, cfg.img_size, cfg.final_upsampling_type)
     return CoolChicOutput(raw_out=raw_out, rate=rate, latents=grids)

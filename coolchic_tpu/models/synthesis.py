@@ -63,11 +63,40 @@ def synthesis_init(key: jax.Array, cfg: CoolChicConfig,
     return params
 
 
-def synthesis_apply(params: dict, cfg: CoolChicConfig, x: jnp.ndarray) -> jnp.ndarray:
-    """[1, C_in, H, W] -> [1, C_out, H, W]."""
+def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Replicate-padded conv as k*k dense [C_out, C_in] x [C_in, H*W] matmul
+    taps ([1, C_in, H, W] -> [1, C_out, H, W]). Identical math to
+    conv2d_replicate up to f32 summation order; the per-tap einsum is the
+    form whose vmap is a batched GEMM (the lax.conv vmap rule emits a
+    feature-grouped conv that wastes the MXU -- see _conv_batched_weights)."""
+    h, wd = x.shape[-2:]
+    if k > 1:
+        p = (k - 1) // 2
+        x = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode="edge")
+    out = None
+    for dy in range(k):
+        for dx in range(k):
+            xs = jax.lax.slice(x, (0, 0, dy, dx),
+                               (x.shape[0], x.shape[1], dy + h, dx + wd))
+            t = jnp.einsum("oi,bihw->bohw", w[:, :, dy, dx], xs)
+            out = t if out is None else out + t
+    return out + b[None, :, None, None]
+
+
+def synthesis_apply(params: dict, cfg: CoolChicConfig, x: jnp.ndarray,
+                    training: bool = False) -> jnp.ndarray:
+    """[1, C_in, H, W] -> [1, C_out, H, W].
+
+    training=True routes through the tap-einsum conv so the BATCHED training
+    window (vmap over images, per-image weights) lowers to batched GEMMs
+    instead of feature-grouped convs (measured ~4x window slowdown at
+    batch >= 2). Eval/decode keeps lax.conv: the bitstream float tail stays
+    bit-identical to the pinned golden."""
+    conv = (lambda y, wt, bs, kk: _conv_taps(y, wt, bs, kk)) if training else \
+        (lambda y, wt, bs, kk: conv2d_replicate(y, wt, bs, padding=(kk - 1) // 2))
     y = x
     for lay, (out_ft, k, mode, non_linearity) in zip(params["layers"], cfg.parsed_synthesis):
-        z = conv2d_replicate(y, lay["weight"], lay["bias"], padding=(k - 1) // 2)
+        z = conv(y, lay["weight"], lay["bias"], k)
         if mode == "residual":
             z = z + y
         if non_linearity == "relu":
@@ -76,12 +105,12 @@ def synthesis_apply(params: dict, cfg: CoolChicConfig, x: jnp.ndarray) -> jnp.nd
 
     if "stabiliser" in params:
         n_in_stab = params["stabiliser"]["weight"].shape[1]
-        stab = conv2d_replicate(x[:, :n_in_stab], params["stabiliser"]["weight"],
-                                params["stabiliser"]["bias"], padding=0)
+        stab = conv(x[:, :n_in_stab], params["stabiliser"]["weight"],
+                    params["stabiliser"]["bias"], 1)
         y = y + stab
 
     ot = params["output_transform"]
-    return conv2d_replicate(y, ot["weight"], ot["bias"], padding=0)
+    return conv(y, ot["weight"], ot["bias"], 1)
 
 
 def _conv_batched_weights(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,

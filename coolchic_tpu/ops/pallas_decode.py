@@ -473,22 +473,43 @@ def words_bucket(max_words: int) -> int:
     return R
 
 
-def grid_batch_limit(h: int, w: int, n_ifce: int, max_words: int = 2048,
-                     ifce_packed: bool = False) -> int:
-    """Largest power-of-two grid batch G (<= 8) whose sheared symbol store +
-    IFCE context + word buffers fit the VMEM budget. max_words must be the
-    longest per-stream word count across the batch (the words buffer is
-    bucketed to the next power of two above it)."""
+def _per_grid_vmem(h: int, w: int, n_ifce: int, max_words: int,
+                   ifce_packed: bool) -> int:
     step = tpu_wavefront_step(w)
     D = (w - 1) + (h - 1) * step + 1
     n_ifce_rows = (n_ifce + 1) // 2 if ifce_packed else n_ifce
     per_grid = (D + _off_max(step) + 1 + PAD_TAIL) * LANES * 4  # symbol store
     per_grid += D * max(n_ifce_rows, 1) * LANES * 4        # ifce context
     per_grid += words_bucket(max_words) * LANES * 4        # words
+    return per_grid
+
+
+def grid_batch_limit(h: int, w: int, n_ifce: int, max_words: int = 2048,
+                     ifce_packed: bool = False) -> int:
+    """Largest power-of-two grid batch G (<= 8) whose sheared symbol store +
+    IFCE context + word buffers fit the VMEM budget. max_words must be the
+    longest per-stream word count across the batch (the words buffer is
+    bucketed to the next power of two above it)."""
+    per_grid = _per_grid_vmem(h, w, n_ifce, max_words, ifce_packed)
     g = 8
     while g > 1 and g * per_grid > VMEM_BUDGET_BYTES:
         g //= 2
     return g
+
+
+def kernel_eligible(h: int, w: int, n_ifce: int) -> bool:
+    """Can an [h, w] 128-stream grid run the Pallas path at all? True when one
+    grid's symbol store + (packed) IFCE context + words fit the VMEM budget
+    at G = 1. Replaces the round-2 `w <= 1270` scope cap: 2K-class level-0
+    grids (e.g. 1365x2048, ~46 MB) fit comfortably in the v5e's 128 MB VMEM;
+    the step rule keeps the wavefront span <= 128 lanes at ANY width, so
+    width itself is not a constraint."""
+    if not (MASK < w):
+        return False
+    # conservative: assume the UNPACKED context (a batch whose int16
+    # certificate fails must still fit); 1365x2048 unpacked is ~86 MB <= 96.
+    return _per_grid_vmem(h, w, n_ifce, 2048,
+                          ifce_packed=False) <= VMEM_BUDGET_BYTES
 
 
 def decode_grids_pallas(jobs: list[dict], h: int, w: int,

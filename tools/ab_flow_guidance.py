@@ -1,0 +1,94 @@
+"""A/B: pyramidal-LK flow guidance vs NO guidance for inter-frame encoding
+(VERDICT r2 item 9: quantify the RAFT-substitute's value).
+
+Encodes frame 0 (I) of the BQSquare clip once, then frame 1 (P) twice from
+the same reference: (a) with LK-guided motion pretraining, (b) with motion
+pretraining disabled. Same budget everywhere else. Reports decoder-side
+PSNR/bpp for both arms.
+
+Usage: python tools/ab_flow_guidance.py [--n_itr 400] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+VIDEO = os.path.join(HERE, "tests", "data",
+                     "D-BQSquare-3frames_224x128_60p_yuv420_8b.yuv")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_itr", type=int, default=400)
+    ap.add_argument("--itr_pretrain", type=int, default=100)
+    ap.add_argument("--lmbda", type=float, default=1e-3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="/tmp/ab_flow")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from coolchic_tpu.train.video import encode_one_frame
+    from coolchic_tpu.utils.codingstructure import CodingStructure
+    from coolchic_tpu.utils.parsecli import (
+        INTRA_OPERATING_POINTS,
+        MOTION_OPERATING_POINTS,
+        RESIDUE_OPERATING_POINTS,
+    )
+    from tests.test_e2e_video import FastVideoPreset
+
+    class ABPreset(FastVideoPreset):
+        pass
+
+    def preset_for(n_itr, pretrain):
+        p = ABPreset(lmbda=args.lmbda, start_lr=1e-2, itr_main_training=50,
+                     itr_motion_pretrain=pretrain)
+        p.training_phases[0].max_itr = n_itr
+        p.training_phases[0].freq_valid = max(n_itr // 8, 10)
+        return p
+
+    os.makedirs(args.out, exist_ok=True)
+    base_wd = os.path.join(args.out, "base")
+    shutil.rmtree(base_wd, ignore_errors=True)
+    os.makedirs(base_wd)
+    cs = CodingStructure(n_frames=2, intra_pos=[0], p_pos=[1])
+    r0 = encode_one_frame(cs.get_frame_from_coding_order(0), cs, VIDEO, base_wd,
+                          preset_for(args.n_itr, 0),
+                          {"residue": INTRA_OPERATING_POINTS["lop"]},
+                          verbose=False, rdoq=True)
+    print(f"I frame: {r0['logs'].psnr_db:.3f} dB "
+          f"{8 * len(r0['payload']) / (224 * 128):.4f} bpp", flush=True)
+
+    results = {}
+    for arm, pretrain in (("lk_guided", args.itr_pretrain), ("no_guidance", 0)):
+        wd = os.path.join(args.out, arm)
+        shutil.rmtree(wd, ignore_errors=True)
+        shutil.copytree(base_wd, wd)
+        r1 = encode_one_frame(cs.get_frame_from_coding_order(1), cs, VIDEO, wd,
+                              preset_for(args.n_itr, pretrain),
+                              {"residue": RESIDUE_OPERATING_POINTS["lop"],
+                               "motion": MOTION_OPERATING_POINTS["lop"]},
+                              verbose=False, rdoq=True)
+        bpp = 8 * len(r1["payload"]) / (224 * 128)
+        results[arm] = {"psnr_db": round(r1["logs"].psnr_db, 4),
+                        "rate_bpp": round(bpp, 5)}
+        print(f"P frame [{arm}]: {r1['logs'].psnr_db:.3f} dB {bpp:.4f} bpp",
+              flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

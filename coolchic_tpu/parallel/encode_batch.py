@@ -99,7 +99,10 @@ def _make_batched(fns, mesh):
                                out_specs=b, check_vma=False)
         return window, jax.jit(eval_m)
 
-    @partial(jax.jit, static_argnums=(7, 8))
+    # donate params/opt/keys: the window consumes and replaces them, so XLA
+    # reuses their HBM instead of holding both generations live (the batch
+    # size is activation+state bound)
+    @partial(jax.jit, static_argnums=(7, 8), donate_argnums=(0, 1, 2))
     def window(p, o, k, t, lr, temp, noise, n_blocks, rem):
         return make_window_v(n_blocks, rem)(p, o, k, t, jnp.float32(lr),
                                             jnp.float32(temp), jnp.float32(noise))
@@ -130,7 +133,9 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
     keys = jax.random.split(key, n)
 
     best_loss = eval_b(params_b, targets_b).loss
-    best_params = params_b
+    # distinct buffers: the window DONATES params_b, so the best-snapshot must
+    # never alias it (cf. the round-2 warmup donated-alias fix, f2246ff)
+    best_params = jax.tree_util.tree_map(jnp.copy, params_b)
 
     n_windows = math.ceil(phase.max_itr / phase.freq_valid)
     t_max = phase.max_itr / phase.freq_valid

@@ -190,7 +190,10 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
         p = frame_encoder_init(cand_keys[i + 1], fcfg, stats)
         p["global_flow_1"] = jnp.asarray(global_flows[0])
         p["global_flow_2"] = jnp.asarray(global_flows[1])
-        if pretrained_motion is not None and i % 2:
+        # odd candidates start from the pretrained motion (reference
+        # video.py:179-212); with NO warm-up tournament the single candidate
+        # takes it directly -- otherwise the pretraining would be dead code.
+        if pretrained_motion is not None and (i % 2 or n_candidates == 1):
             p["motion"] = pretrained_motion
         candidates.append(p)
 

@@ -68,54 +68,63 @@ def _make_batched(fns, mesh):
     from functools import partial
 
     def make_window_v(n_blocks, rem):
-        def window_one(params, opt_state, k, target, lr, temp, noise):
+        def window_one(params, opt_state, k, target, lam, lr, temp, noise):
             carry = (params, opt_state, k, lr, temp, noise, target, None, None,
-                     fns["lmbda"])
+                     lam)
             if n_blocks > 0:
                 carry, _ = jax.lax.scan(fns["block"], carry, None, length=n_blocks)
             if rem > 0:
                 carry, _ = jax.lax.scan(fns["plain_step"], carry, None, length=rem)
             return carry[0], carry[1], carry[2]
 
-        return jax.vmap(window_one, in_axes=(0, 0, 0, 0, None, None, None))
+        return jax.vmap(window_one, in_axes=(0, 0, 0, 0, 0, None, None, None))
 
-    eval_v = jax.vmap(lambda p, t: fns["eval_fn"](p, t, None, None))
+    # λ rides the batch axis: the sweep batches across images AND rate points
+    # with one compile (λ is traced in the carry, train.py:_make_fns).
+    eval_v = jax.vmap(lambda p, t, lam: fns["eval_fn_lam"](p, t, None, None, lam))
 
     if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import PartitionSpec as P
 
         b = P("data")
 
-        @partial(jax.jit, static_argnums=(7, 8))
-        def window(p, o, k, t, lr, temp, noise, n_blocks, rem):
+        @partial(jax.jit, static_argnums=(8, 9))
+        def window(p, o, k, t, lam, lr, temp, noise, n_blocks, rem):
             wm = jax.shard_map(
                 make_window_v(n_blocks, rem), mesh=mesh,
-                in_specs=(b, b, b, b, P(), P(), P()),
+                in_specs=(b, b, b, b, b, P(), P(), P()),
                 out_specs=(b, b, b), check_vma=False)
-            return wm(p, o, k, t, jnp.float32(lr), jnp.float32(temp),
+            return wm(p, o, k, t, lam, jnp.float32(lr), jnp.float32(temp),
                       jnp.float32(noise))
 
-        eval_m = jax.shard_map(eval_v, mesh=mesh, in_specs=(b, b),
+        eval_m = jax.shard_map(eval_v, mesh=mesh, in_specs=(b, b, b),
                                out_specs=b, check_vma=False)
         return window, jax.jit(eval_m)
 
     # donate params/opt/keys: the window consumes and replaces them, so XLA
     # reuses their HBM instead of holding both generations live (the batch
     # size is activation+state bound)
-    @partial(jax.jit, static_argnums=(7, 8), donate_argnums=(0, 1, 2))
-    def window(p, o, k, t, lr, temp, noise, n_blocks, rem):
-        return make_window_v(n_blocks, rem)(p, o, k, t, jnp.float32(lr),
+    @partial(jax.jit, static_argnums=(8, 9), donate_argnums=(0, 1, 2))
+    def window(p, o, k, t, lam, lr, temp, noise, n_blocks, rem):
+        return make_window_v(n_blocks, rem)(p, o, k, t, lam, jnp.float32(lr),
                                             jnp.float32(temp), jnp.float32(noise))
 
     return window, jax.jit(eval_v)
 
 
-def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose):
-    """One training phase over the image batch; returns best params per image."""
+def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose,
+                   lmbda_b=None):
+    """One training phase over the image batch; returns best params per image.
+    `lmbda_b` (optional [n] vector) gives each batch slot its own rate point —
+    λ is traced, so mixed-λ batches share one compile."""
     from coolchic_tpu.train.train import init_opt_state
 
     n = targets_b.shape[0] if not isinstance(targets_b, dict) \
         else next(iter(targets_b.values())).shape[0]
+    if lmbda_b is None:
+        lmbda_b = jnp.full((n,), phase.lmbda, dtype=jnp.float32)
+    else:
+        lmbda_b = jnp.asarray(lmbda_b, dtype=jnp.float32)
     fns = _make_fns(
         fcfg, phase.quantizer_noise_type, phase.quantizer_type,
         tuple(sorted(phase.dist_weight.items())), phase.lmbda,
@@ -132,7 +141,7 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
         lambda x: jnp.broadcast_to(x, (n,) + x.shape).copy(), opt1)
     keys = jax.random.split(key, n)
 
-    best_loss = eval_b(params_b, targets_b).loss
+    best_loss = eval_b(params_b, targets_b, lmbda_b).loss
     # distinct buffers: the window DONATES params_b, so the best-snapshot must
     # never alias it (cf. the round-2 warmup donated-alias fix, f2246ff)
     best_params = jax.tree_util.tree_map(jnp.copy, params_b)
@@ -154,12 +163,12 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
         noise = linear_schedule(phase.noise_parameter, cnt, phase.max_itr)
         n_steps = min(phase.freq_valid, phase.max_itr - cnt)
 
-        params_b, opt_b, keys = window(params_b, opt_b, keys, targets_b,
+        params_b, opt_b, keys = window(params_b, opt_b, keys, targets_b, lmbda_b,
                                        lr, temp, noise, n_steps // pf, n_steps % pf)
         cnt += n_steps
         monitor.iterations_counter += n_steps * n
 
-        lo = eval_b(params_b, targets_b)
+        lo = eval_b(params_b, targets_b, lmbda_b)
         improved = lo.loss < best_loss
         best_loss = jnp.where(improved, lo.loss, best_loss)
         best_params = _select(improved, params_b, best_params)
@@ -175,11 +184,20 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
 def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicConfig],
                           preset: Preset, out_paths: Sequence[str], *,
                           mesh=None, seed: int = 0, verbose: bool = True,
-                          rdoq: bool = True, profile: str = "ref") -> list[dict]:
+                          rdoq: bool = True, profile: str = "ref",
+                          lmbdas: Optional[Sequence[float]] = None) -> list[dict]:
     """Encode N same-sized I-frames as one batched program; write one
-    bitstream per image. Returns per-image result dicts."""
+    bitstream per image. Returns per-image result dicts.
+
+    `lmbdas` (optional, len n) assigns each slot its own rate point, so a
+    whole RD sweep (images x λ) runs as mixed chunks — the reference runs
+    one slurm job per (image, λ) pair (reference samples/encode.py:147-183);
+    here a (image, λ) slot is just a batch row with its own traced λ."""
     n = len(frames)
     assert len(out_paths) == n
+    lmbdas_f = ([float(x) for x in lmbdas] if lmbdas is not None
+                else [None] * n)
+    assert len(lmbdas_f) == n
     h, w = frames[0].img_size
     for f in frames:
         assert f.img_size == (h, w), "batched encode needs same-sized images"
@@ -202,6 +220,9 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
     # per-image argmin survives. (The reference's multi-stage pruning is a
     # per-image tournament; over a batch the single-stage argmin keeps the
     # same winners at a fraction of the orchestration.)
+    lmbda_b = (jnp.asarray([x for x in lmbdas_f], dtype=jnp.float32)
+               if lmbdas is not None else None)
+
     if preset.warmup.phases and n_candidates > 1:
         wu_phase = preset.warmup.phases[0].training_phase
         cand_best = None
@@ -214,7 +235,8 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
                                for i in range(n)])
             key, sub = jax.random.split(key)
             params_b, loss_b = _batched_phase(params_b, targets_b, fcfg, wu_phase,
-                                              sub, mesh, monitor, verbose=False)
+                                              sub, mesh, monitor, verbose=False,
+                                              lmbda_b=lmbda_b)
             if cand_best is None:
                 cand_best, cand_best_loss = params_b, loss_b
             else:
@@ -236,8 +258,9 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
     for idx, phase in enumerate(preset.training_phases):
         key, sub = jax.random.split(key)
         t0 = time.time()
-        params_b, _ = _batched_phase(params_b, targets_b, fcfg, phase, sub, mesh,
-                                     monitor, verbose)
+        with monitor.timed(f"train_phase{idx}"):
+            params_b, _ = _batched_phase(params_b, targets_b, fcfg, phase, sub, mesh,
+                                         monitor, verbose, lmbda_b=lmbda_b)
         if verbose:
             print(f"phase {idx} done in {time.time() - t0:.1f}s", flush=True)
 
@@ -251,17 +274,18 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
         params = _index(params_b, i)
         params = jax.tree_util.tree_map(np.asarray, params)
         target = _target_from_frame(frames[i])
+        lam_i = lmbdas_f[i] if lmbdas_f[i] is not None else phase0.lmbda
 
         eval_fn = _make_fns(
             fcfg, "none", "hardround", tuple(sorted(phase0.dist_weight.items())),
-            phase0.lmbda, (0.95, 0.95), (0.9, 0.999), 10, 1, False)["eval_fn"]
+            lam_i, (0.95, 0.95), (0.9, 0.999), 10, 1, False)["eval_fn"]
         nn_side_info = {}
         for cc_name in fcfg.cc_cfgs:
             def eval_loss(cc_params, total_nn_bits, _name=cc_name, _p=params, _t=target):
                 trial = dict(_p)
                 trial[_name] = cc_params
                 lo = eval_fn(trial, _t, None, None)
-                return float(lo.loss) + phase0.lmbda * total_nn_bits / n_pixels
+                return float(lo.loss) + lam_i * total_nn_bits / n_pixels
 
             def eval_with_ctx(ctx, cc_trial, _name=cc_name):
                 full, tgt = ctx
@@ -269,24 +293,27 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
                 trial[_name] = cc_trial
                 return eval_fn(trial, tgt, None, None).loss
 
-            q_params, q_shift, expgol, _ = quantize_coolchic(
-                params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, phase0.lmbda,
-                n_pixels, verbose=False, eval_with_ctx=eval_with_ctx,
-                eval_ctx=(params, target))
+            with monitor.timed("nn_quantize"):
+                q_params, q_shift, expgol, _ = quantize_coolchic(
+                    params[cc_name], fcfg.cc_cfgs[cc_name], eval_loss, lam_i,
+                    n_pixels, verbose=False, eval_with_ctx=eval_with_ctx,
+                    eval_ctx=(params, target))
             if rdoq:
                 from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 
                 rdoq_target = (np.asarray(target)
                                if not isinstance(target, dict) else None)
-                q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift,
-                                         expgol, phase0.lmbda, target=rdoq_target,
-                                         frame_type="I", verbose=False)
+                with monitor.timed("rdoq"):
+                    q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name],
+                                             q_shift, expgol, lam_i,
+                                             target=rdoq_target,
+                                             frame_type="I", verbose=False)
             params = dict(params)
             params[cc_name] = q_params
             nn_side_info[cc_name] = (q_shift, expgol)
 
         logs = test(params, fcfg, target, dist_weight=phase0.dist_weight,
-                    lmbda=phase0.lmbda)
+                    lmbda=lam_i)
         payload = encode_frame(params, fcfg, cs, nn_side_info, is_first_frame=True,
                                profile=profile)
         with open(out_paths[i], "wb") as f:
@@ -306,4 +333,5 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
     if verbose:
         print(f"batch of {n} images done in {time.time() - t_start:.1f}s "
               f"({monitor.iterations_counter} candidate-iterations)", flush=True)
+        print(monitor.report(), flush=True)
     return results

@@ -128,6 +128,9 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
     out = dict(impl)
     out["train_window"] = train_window
     out["eval_fn"] = eval_fn
+    # λ-traced eval (pre-bind form): lets batched callers pass a PER-IMAGE
+    # λ vector (the Kodak 24x5 sweep batches across rate points too).
+    out["eval_fn_lam"] = impl["eval_fn"]
     out["grad_fn"] = grad_fn
     out["lmbda"] = lam
     return out

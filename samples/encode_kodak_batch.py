@@ -80,6 +80,12 @@ def main():
     ap.add_argument("--crop", default="",
                     help="HxW center crop for smoke tests, e.g. 64x96")
     ap.add_argument("--recipe", default="intra", choices=["intra", "debug"])
+    ap.add_argument("--pairs", action="store_true",
+                    help="sweep (image, lambda) PAIRS as mixed batch slots: "
+                         "lambda is traced per slot, so a 24x5 sweep runs as "
+                         "ceil(120/chunk) chunks instead of 5x ceil(24/chunk)")
+    ap.add_argument("--first_slot", type=int, default=0,
+                    help="with --pairs: resume at this slot index")
     args = ap.parse_args()
 
     if args.cpu:
@@ -119,6 +125,45 @@ def main():
         if new:
             f.write("lmbda\tseq_name\tpsnr_db\trate_bpp\tn_bytes\tn_pixels\t"
                     "chunk_s\timg_per_s_chunk\n")
+        if args.pairs:
+            # (image, λ) slots, λ-major so each chunk mixes rate points of
+            # the SAME pixels only when n_images < chunk; image-major keeps
+            # resume simple. Preset λ is a placeholder — per-slot λ wins.
+            slots = [(fi, lm) for lm in lmbdas for fi in range(len(frames))]
+            slots = slots[args.first_slot:]
+            mk = PresetIntra if args.recipe == "intra" else PresetDebug
+            preset = mk(lmbda=lmbdas[0], start_lr=args.start_lr,
+                        itr_main_training=args.n_itr)
+            for c0 in range(0, len(slots), args.chunk):
+                sl = slots[c0:c0 + args.chunk]
+                chunk = [frames[fi] for fi, _ in sl]
+                cnames = [names[fi] for fi, _ in sl]
+                clams = [lm for _, lm in sl]
+                outs = [os.path.join(args.out, f"{n_}_l{lm:g}.cool")
+                        for n_, lm in zip(cnames, clams)]
+                t0 = time.time()
+                res = encode_images_batched(chunk, cfgs, preset, outs,
+                                            seed=c0, verbose=True,
+                                            rdoq=not args.no_rdoq,
+                                            profile=args.profile,
+                                            lmbdas=clams)
+                dt = time.time() - t0
+                for r, n_, lm in zip(res, cnames, clams):
+                    f.write(f"{lm:g}\t{n_}\t{r['psnr_db']:.4f}\t"
+                            f"{r['rate_bpp']:.6f}\t{r['n_bytes']}\t"
+                            f"{r['n_pixels']}\t{dt:.1f}\t"
+                            f"{len(res) / dt:.4f}\n")
+                    rows += 1
+                f.flush()
+                n_done += len(res)
+                print(f"[{n_done + args.first_slot}/{len(frames) * len(lmbdas)}] "
+                      f"pair-chunk {c0 // args.chunk}: {len(res)} slots in "
+                      f"{dt:.1f}s = {len(res) / dt:.3f} img/s", flush=True)
+            wall = time.time() - t_all
+            print(f"TOTAL {n_done} full encodes (n_itr={args.n_itr}, "
+                  f"{'no ' if args.no_rdoq else ''}rdoq) in {wall:.1f}s = "
+                  f"{n_done / wall:.4f} img/s/chip -> {tsv}", flush=True)
+            return
         for lmbda in lmbdas:
             mk = PresetIntra if args.recipe == "intra" else PresetDebug
             preset = mk(lmbda=lmbda, start_lr=args.start_lr,

@@ -32,7 +32,10 @@ STEPS = 100
 
 
 def block_until_ready(tree):
-    jax.tree_util.tree_map(lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, tree)
+    # axon remote backend: block_until_ready does NOT wait -- a device->host
+    # fetch is the only true barrier (same trick as bench.py's fetch()).
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
 def run(batch: int, pf: int, steps: int = STEPS):
@@ -52,19 +55,23 @@ def run(batch: int, pf: int, steps: int = STEPS):
     opt_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), opt1)
     kb = jax.random.split(key, batch)
+    lam_b = jnp.full((batch,), 1e-3, dtype=jnp.float32)
 
     n_blocks, rem = divmod(steps, fns["pf"])
     # compile
     t0 = time.time()
-    p2, o2, k2 = window(params_b, opt_b, kb, targets_b, 1e-2, 0.3, 0.2, n_blocks, rem)
+    p2, o2, k2 = window(params_b, opt_b, kb, targets_b, lam_b, 1e-2, 0.3, 0.2,
+                        n_blocks, rem)
     block_until_ready(p2)
     t_compile = time.time() - t0
+    # the window DONATES params/opt/keys -- the originals are dead buffers now
+    params_b, opt_b, kb = p2, o2, k2
     # steady state
     t0 = time.time()
     n_rep = 3
     for _ in range(n_rep):
-        params_b, opt_b, kb = window(params_b, opt_b, kb, targets_b, 1e-2, 0.3, 0.2,
-                                     n_blocks, rem)
+        params_b, opt_b, kb = window(params_b, opt_b, kb, targets_b, lam_b,
+                                     1e-2, 0.3, 0.2, n_blocks, rem)
     block_until_ready(params_b)
     dt = (time.time() - t0) / n_rep
     itps = steps / dt
@@ -73,12 +80,12 @@ def run(batch: int, pf: int, steps: int = STEPS):
           f"[first call incl compile {t_compile:.1f}s]", flush=True)
 
     t0 = time.time()
-    lo = eval_b(params_b, targets_b)
+    lo = eval_b(params_b, targets_b, lam_b)
     block_until_ready(lo.loss)
     t_eval_c = time.time() - t0
     t0 = time.time()
     for _ in range(3):
-        lo = eval_b(params_b, targets_b)
+        lo = eval_b(params_b, targets_b, lam_b)
     block_until_ready(lo.loss)
     print(f"  eval_b: {(time.time() - t0) / 3 * 1e3:.1f} ms (first {t_eval_c:.1f}s)",
           flush=True)

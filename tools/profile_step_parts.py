@@ -103,10 +103,11 @@ def bench_soap(batch):
     opt_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), opt1)
     kb = jax.random.split(key, batch)
-    p, o, k = window(params_b, opt_b, kb, targets_b, 1e-2, 0.3, 0.2, 10, 0)
+    lam_b = jnp.full((batch,), 1e-3, dtype=jnp.float32)
+    p, o, k = window(params_b, opt_b, kb, targets_b, lam_b, 1e-2, 0.3, 0.2, 10, 0)
     np.asarray(jax.tree_util.tree_leaves(p)[0].sum())
     t0 = time.time()
-    p, o, k = window(p, o, kb, targets_b, 1e-2, 0.3, 0.2, 10, 0)
+    p, o, k = window(p, o, kb, targets_b, lam_b, 1e-2, 0.3, 0.2, 10, 0)
     np.asarray(jax.tree_util.tree_leaves(p)[0].sum())
     dt = time.time() - t0
     print(f"  soap          b={batch}: {dt / STEPS * 1e3:8.2f} ms/step "

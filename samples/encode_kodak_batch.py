@@ -132,13 +132,16 @@ def main():
             slots = [(fi, lm) for lm in lmbdas for fi in range(len(frames))]
             slots = slots[args.first_slot:]
             mk = PresetIntra if args.recipe == "intra" else PresetDebug
-            preset = mk(lmbda=lmbdas[0], start_lr=args.start_lr,
-                        itr_main_training=args.n_itr)
             for c0 in range(0, len(slots), args.chunk):
                 sl = slots[c0:c0 + args.chunk]
                 chunk = [frames[fi] for fi, _ in sl]
                 cnames = [names[fi] for fi, _ in sl]
                 clams = [lm for _, lm in sl]
+                # chunk sizes dividing n_images keep chunks single-λ, so the
+                # preset's λ-derived warm-up noise level stays reference-exact;
+                # per-slot λ still drives the loss/tail (mixed chunks allowed).
+                preset = mk(lmbda=clams[0], start_lr=args.start_lr,
+                            itr_main_training=args.n_itr)
                 outs = [os.path.join(args.out, f"{n_}_l{lm:g}.cool")
                         for n_, lm in zip(cnames, clams)]
                 t0 = time.time()

@@ -36,13 +36,14 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 KODIM14 = os.path.join(HERE, "tests", "data", "kodim14_ref_decode.png")
 
 
-def build_kodak_targets(n_images: int):
-    """n distinct [1,3,H,W] rgb FrameData variants of kodim14: flips x
-    channel permutations (24 = 4 x 6 unique combinations, then wraps)."""
+def build_kodak_targets(n_images: int, image: str = KODIM14):
+    """n distinct [1,3,H,W] rgb FrameData variants of the base image: flips x
+    channel permutations (24 = 4 x 6 unique combinations, then wraps).
+    n_images=1 returns the base image itself (identity slot)."""
     from coolchic_tpu.io.framedata import FrameData
     from coolchic_tpu.io.io import load_frame_data_from_file
 
-    base = load_frame_data_from_file(KODIM14)
+    base = load_frame_data_from_file(image)
     img = np.asarray(base.data)  # [1,3,H,W]
     flips = [(False, False), (True, False), (False, True), (True, True)]
     perms = list(itertools.permutations(range(3)))
@@ -56,7 +57,9 @@ def build_kodak_targets(n_images: int):
         if fh:
             v = v[:, :, :, ::-1]
         frames.append(FrameData(base.bitdepth, "rgb", np.ascontiguousarray(v)))
-        names.append(f"kodim14_p{''.join(map(str, perm))}"
+        stem = os.path.splitext(os.path.basename(image))[0].split("_")[0] \
+            if image != KODIM14 else "kodim14"
+        names.append(f"{stem}_p{''.join(map(str, perm))}"
                      f"{'_fv' if fv else ''}{'_fh' if fh else ''}")
     return frames, names
 
@@ -64,6 +67,8 @@ def build_kodak_targets(n_images: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_images", type=int, default=24)
+    ap.add_argument("--image", default=KODIM14,
+                    help="base image for the flip/permutation variants")
     ap.add_argument("--first_image", type=int, default=0,
                     help="start at this image index (resume a partial sweep)")
     ap.add_argument("--chunk", type=int, default=4,
@@ -86,6 +91,13 @@ def main():
                          "ceil(120/chunk) chunks instead of 5x ceil(24/chunk)")
     ap.add_argument("--first_slot", type=int, default=0,
                     help="with --pairs: resume at this slot index")
+    ap.add_argument("--order", default="image_major",
+                    choices=["image_major", "lambda_major"],
+                    help="pair order: image_major completes full lambda "
+                         "curves image-by-image (best for partial sweeps); "
+                         "lambda_major keeps chunks single-lambda")
+    ap.add_argument("--skip_done", action="store_true",
+                    help="skip slots whose .cool already exists")
     args = ap.parse_args()
 
     if args.cpu:
@@ -101,7 +113,8 @@ def main():
     from coolchic_tpu.train.presets import PresetDebug, PresetIntra
     from coolchic_tpu.utils.parsecli import INTRA_OPERATING_POINTS, coolchic_config_from_args
 
-    frames, names = build_kodak_targets(args.first_image + args.n_images)
+    frames, names = build_kodak_targets(args.first_image + args.n_images,
+                                        image=args.image)
     frames, names = frames[args.first_image:], names[args.first_image:]
     if args.crop:
         ch, cw = (int(x) for x in args.crop.split("x"))
@@ -129,8 +142,14 @@ def main():
             # (image, λ) slots, λ-major so each chunk mixes rate points of
             # the SAME pixels only when n_images < chunk; image-major keeps
             # resume simple. Preset λ is a placeholder — per-slot λ wins.
-            slots = [(fi, lm) for lm in lmbdas for fi in range(len(frames))]
+            if args.order == "lambda_major":
+                slots = [(fi, lm) for lm in lmbdas for fi in range(len(frames))]
+            else:
+                slots = [(fi, lm) for fi in range(len(frames)) for lm in lmbdas]
             slots = slots[args.first_slot:]
+            if args.skip_done:
+                slots = [(fi, lm) for fi, lm in slots if not os.path.exists(
+                    os.path.join(args.out, f"{names[fi]}_l{lm:g}.cool"))]
             mk = PresetIntra if args.recipe == "intra" else PresetDebug
             for c0 in range(0, len(slots), args.chunk):
                 sl = slots[c0:c0 + args.chunk]

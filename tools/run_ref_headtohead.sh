@@ -15,7 +15,8 @@ mkdir -p "$OUT"
 
 run() {
   local tag="$1"; shift
-  local wd="$OUT/$tag"
+  local wd="/root/repo/$OUT/$tag"   # ABSOLUTE: the ref encoder writes the
+  # bitstream relative to its own cwd (reference bitstream/encode.py:92)
   if [ -f "$wd/results_decoder.tsv" ]; then echo "== $tag already done"; return; fi
   mkdir -p "$wd"
   echo "== $tag start $(date +%T)"
@@ -36,11 +37,12 @@ run "kodim15_yuv420_l1e-3" -i /root/repo/tests/data/kodim15_192x128_01p_yuv420_8
     --lmbda 1e-3 --n_itr 3000 --start_lr 0.01 \
     --dec_cfg_residue /root/repo/cfg/dec/intra/hop.cfg
 
-# 3. Full-size 512x768 at 2 lambdas, n_itr=2000 (matched to the Kodak-batch
-#    recipe; the reference-CPU full recipe here is ~1h/run).
+# 3. Full-size 512x768 at 2 lambdas, n_itr=3000 — matched to the round-3
+#    Kodak pair-sweep budget so the sweep's kodim14 identity slot (same
+#    pixels) is directly comparable. ~1-2h/run on this host's CPU.
 for L in 1e-3 4e-3; do
   run "kodim14full_l${L}" -i /root/repo/tests/data/kodim14_ref_decode.png --lmbda "$L" \
-      --n_itr 2000 --start_lr 0.01 --dec_cfg_residue /root/repo/cfg/dec/intra/hop.cfg
+      --n_itr 3000 --start_lr 0.01 --dec_cfg_residue /root/repo/cfg/dec/intra/hop.cfg
 done
 
 echo "== all reference runs done $(date +%T)"

@@ -83,6 +83,22 @@ def _make_batched(fns, mesh):
     # with one compile (λ is traced in the carry, train.py:_make_fns).
     eval_v = jax.vmap(lambda p, t, lam: fns["eval_fn_lam"](p, t, None, None, lam))
 
+    def _fused_update(eval_fn):
+        # eval + per-image best-snapshot as ONE device call: the unjitted
+        # tree_map/where variant issued ~2 small remote launches per leaf
+        # per window (~10 s/window over the tunnel, dwarfing the 0.3 s eval).
+        # best_params/best_loss are donated -- they are replaced every call.
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=(3, 4))
+        def eval_update(p, t, lam, best_params, best_loss):
+            lo = eval_fn(p, t, lam)
+            improved = lo.loss < best_loss
+            new_best = _select(improved, p, best_params)
+            return new_best, jnp.where(improved, lo.loss, best_loss), improved, lo
+
+        return eval_update
+
     if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import PartitionSpec as P
 
@@ -99,7 +115,7 @@ def _make_batched(fns, mesh):
 
         eval_m = jax.shard_map(eval_v, mesh=mesh, in_specs=(b, b, b),
                                out_specs=b, check_vma=False)
-        return window, jax.jit(eval_m)
+        return window, jax.jit(eval_m), _fused_update(eval_m)
 
     # donate params/opt/keys: the window consumes and replaces them, so XLA
     # reuses their HBM instead of holding both generations live (the batch
@@ -109,7 +125,7 @@ def _make_batched(fns, mesh):
         return make_window_v(n_blocks, rem)(p, o, k, t, lam, jnp.float32(lr),
                                             jnp.float32(temp), jnp.float32(noise))
 
-    return window, jax.jit(eval_v)
+    return window, jax.jit(eval_v), _fused_update(eval_v)
 
 
 def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose,
@@ -130,7 +146,7 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
         tuple(sorted(phase.dist_weight.items())), phase.lmbda,
         tuple(phase.betas_model), tuple(phase.betas_latent),
         phase.precondition_frequency_model, phase.freq_valid, False)
-    window, eval_b = _make_batched(fns, mesh)
+    window, eval_b, eval_update = _make_batched(fns, mesh)
     pf = fns["pf"]
     # Hoist the (constant) wasserstein target features out of the steps;
     # identity for mse-only phases. Batched: vgg runs once over [n,3,H,W].
@@ -146,6 +162,8 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
     # never alias it (cf. the round-2 warmup donated-alias fix, f2246ff)
     best_params = jax.tree_util.tree_map(jnp.copy, params_b)
 
+    reload_select = jax.jit(_select)   # one device call for a patience reload
+
     n_windows = math.ceil(phase.max_itr / phase.freq_valid)
     t_max = phase.max_itr / phase.freq_valid
     patience_windows = max(phase.patience // phase.freq_valid, 1)
@@ -155,7 +173,7 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
     for w_idx in range(n_windows):
         if phase.schedule_lr and (since_record > patience_windows).any():
             reload = jnp.asarray(since_record > patience_windows)
-            params_b = _select(reload, best_params, params_b)
+            params_b = reload_select(reload, best_params, params_b)
             since_record[np.asarray(reload)] = 0
 
         lr = cosine_lr(phase.lr, w_idx, t_max) if phase.schedule_lr else phase.lr
@@ -168,10 +186,10 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
         cnt += n_steps
         monitor.iterations_counter += n_steps * n
 
-        lo = eval_b(params_b, targets_b, lmbda_b)
-        improved = lo.loss < best_loss
-        best_loss = jnp.where(improved, lo.loss, best_loss)
-        best_params = _select(improved, params_b, best_params)
+        # fused eval + best-snapshot (one remote call); fetching `improved`
+        # is the host sync point for the patience counters
+        best_params, best_loss, improved, lo = eval_update(
+            params_b, targets_b, lmbda_b, best_params, best_loss)
         imp = np.asarray(improved)
         since_record = np.where(imp, 0, since_record + 1)
         if verbose:

@@ -50,7 +50,7 @@ def run(batch: int, pf: int, steps: int = STEPS):
 
     fns = _make_fns(fcfg, "gaussian", "softround", (("mse", 1.0),), 1e-3,
                     (0.95, 0.95), (0.9, 0.999), pf, 100, False)
-    window, eval_b = _make_batched(fns, None)
+    window, eval_b, _upd = _make_batched(fns, None)
     opt1 = init_opt_state(_index(params_b, 0), fns["hp_weight"], fns["hp_latent"])
     opt_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), opt1)

@@ -98,7 +98,7 @@ def bench_soap(batch):
     targets_b = jax.random.uniform(key, (batch, 1, 3, H, W), dtype=jnp.float32)
     fns = _make_fns(fcfg, "gaussian", "softround", (("mse", 1.0),), 1e-3,
                     (0.95, 0.95), (0.9, 0.999), 10, 100, False)
-    window, _ = _make_batched(fns, None)
+    window, _, _upd = _make_batched(fns, None)
     opt1 = init_opt_state(_index(params_b, 0), fns["hp_weight"], fns["hp_latent"])
     opt_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), opt1)

@@ -61,11 +61,11 @@ def main():
     full = read_png(os.path.join(HERE, "tests/data/192x128_kodim15.png"))
     frame = FrameData(8, "rgb", np.ascontiguousarray(
         np.asarray(full.data)[:, :, :h, :w]))
-    target = jnp.asarray(frame.data, jnp.float32) / 255.0
+    target = jnp.asarray(frame.data, jnp.float32)  # FrameData is [0,1]
 
     def wd_of(dec_path):
         dec = jnp.asarray(np.asarray(decode_video(dec_path)["0"].data),
-                          jnp.float32) / 255.0
+                          jnp.float32)
         d = 0.0
         for fa, fb in zip(vgg16_features(dec), vgg16_features(target)):
             d = d + wasserstein_distortion(fa, fb)
@@ -84,7 +84,7 @@ def main():
         res = encode_image_to_bitstream(frame, cfgs, preset, path, seed=0,
                                         verbose=False, rdoq=False)
         dec = np.asarray(decode_video(path)["0"].data).astype(np.float64)
-        mse = float(((dec - np.asarray(frame.data)) ** 2).mean()) / 255.0 ** 2
+        mse = float(((dec - np.asarray(frame.data)) ** 2).mean())
         rows[tag] = {
             "psnr_db": round(-10 * math.log10(max(mse, 1e-12)), 3),
             "rate_bpp": round(res["rate_bpp"], 4),

@@ -53,9 +53,10 @@ def main():
             cool = os.path.join(args.dir, f"{name}_l{lam:g}.cool")
             if not os.path.exists(cool) or name not in by_name:
                 continue
+            # FrameData.data is float in [0,1] (io/framedata.py)
             dec = np.asarray(decode_video(cool)["0"].data).astype(np.float64)
             src = np.asarray(by_name[name].data).astype(np.float64)
-            mse = ((dec - src) ** 2).mean() / 255.0 ** 2
+            mse = ((dec - src) ** 2).mean()
             psnr = -10 * math.log10(max(mse, 1e-12))
             enc = float(r["psnr_db"])
             ok = abs(psnr - enc) < 0.3

@@ -262,23 +262,35 @@ def main():
     # (COOLCHIC_BENCH_FULL=1) to keep the driver bench bounded.
     try:
         import csv
+        import statistics
 
-        tsv = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "results/round3/kodak/image-kodak-batch.tsv")
+        here = os.path.dirname(os.path.abspath(__file__))
+        r4 = os.path.join(here, "results/round4/kodak/image-kodak-batch.tsv")
+        r3 = os.path.join(here, "results/round3/kodak/image-kodak-batch.tsv")
+        tsv = r4 if os.path.exists(r4) else r3
         with open(tsv) as f:
             rows = list(csv.DictReader(f, delimiter="\t"))
-        # steady-state = fastest chunk (first chunk pays every remote compile)
-        best = max(float(r["img_per_s_chunk"]) for r in rows)
-        extra["encode_full_img_per_s_measured_r3"] = round(best, 5)
-        extra["encode_full_vs_ref_cpu_measured_r3"] = round(
-            best * BASELINE_REF_CPU_FULL_ENCODE_S, 1)
+        # One throughput sample per CHUNK (rows of a chunk share chunk_s);
+        # steady-state = median over non-first chunks (the first chunk pays
+        # every remote compile; max() would cherry-pick a lucky chunk).
+        chunks: list[float] = []
+        for r in rows:
+            v = float(r["img_per_s_chunk"])
+            if not chunks or abs(v - chunks[-1]) > 1e-12:
+                chunks.append(v)
+        steady = statistics.median(chunks[1:]) if len(chunks) > 1 else chunks[0]
+        rnd = "r4" if tsv == r4 else "r3"
+        extra[f"encode_full_img_per_s_measured_{rnd}"] = round(steady, 5)
+        extra[f"encode_full_vs_ref_cpu_measured_{rnd}"] = round(
+            steady * BASELINE_REF_CPU_FULL_ENCODE_S, 1)
         extra["encode_full_note"] = (
             "batch-6 512x768 hop pair-sweep chunks, n_itr=3000, incl "
-            "warmup+train+quantize+rdoq+bitstream; "
-            "results/round3/kodak/image-kodak-batch.tsv")
+            "warmup+train+quantize"
+            + ("+rdoq" if rnd == "r4" else " (round-3 sweep ran --no_rdoq)")
+            + "+bitstream; median over non-first chunks of " + tsv[len(here) + 1:])
     except Exception as e:
         extra["encode_full_img_per_s_measured_r2"] = 0.00077
-        extra["encode_full_note"] = f"round-3 sweep TSV unavailable ({e});" \
+        extra["encode_full_note"] = f"sweep TSV unavailable ({e});" \
             " round-2 figure: batch-3, n_itr=2000, incl rdoq tail"
     if os.environ.get("COOLCHIC_BENCH_FULL", "0") == "1":
         # In a SUBPROCESS: a fresh remote compile of the batched 512x768 hop

@@ -86,6 +86,11 @@ def build_parser() -> ConfigArgParser:
         p.add(f"--{key}", type=type(default), default=default)
     p.add("--warp_filter_size", type=int, default=8,
           help="taps of the warping interpolation filter")
+    p.add("--spatial_shard", default="auto",
+          help="shard the frame's training along image height over N devices "
+          "(GSPMD halo exchange; for 2K/4K frames). 0 disables; 'auto' "
+          "enables over all devices when the frame is >= 2 Mpix and more "
+          "than one device is visible")
     return p
 
 
@@ -175,10 +180,25 @@ def main() -> int:
     if frame.frame_type != "I":
         cfg_args["motion"] = dec_args("_motion")
 
+    if str(args.spatial_shard) == "auto":
+        import jax as _jax
+
+        from coolchic_tpu.io.io import load_frame_data_from_file as _load
+
+        n_dev = len(_jax.devices())
+        spatial_shard = 0
+        if n_dev > 1:
+            probe = _load(args.input, frame.display_order + frame.frame_offset)
+            if probe.n_pixels >= 2 * 1024 * 1024:
+                spatial_shard = n_dev
+    else:
+        spatial_shard = int(args.spatial_shard)
+
     res = encode_one_frame(frame, cs, args.input, workdir, preset, cfg_args,
                            warp_filter_size=args.warp_filter_size,
                            seed=args.seed, verbose=args.verbose > 0, tune=args.tune,
-                           rdoq=not args.no_rdoq, profile=args.profile)
+                           rdoq=not args.no_rdoq, profile=args.profile,
+                           spatial_shard=spatial_shard)
     _write_archi(os.path.join(workdir, "archi.txt"), res,
                  verbose=args.print_detailed_archi)
 
@@ -212,11 +232,14 @@ def verify_decode_back(args, frame, res, workdir: str, seq_name: str) -> int:
     psnr_dec = dist_to_db(float(mse))
     rate_dec_bpp = 8 * res["n_bytes"] / original.n_pixels
 
+    from coolchic_tpu.train.logs import write_reference_decoder_tsv
+
     path = os.path.join(workdir, f"{frame.display_order:04d}-results_decoder.tsv")
-    with open(path, "w") as f:
-        f.write("seq_name\tlmbda\tn_pixels\tpsnr_db\trate_bpp\n")
-        f.write(f"{seq_name}\t{args.lmbda}\t{original.n_pixels}\t"
-                f"{psnr_dec:.4f}\t{rate_dec_bpp:.6f}\n")
+    write_reference_decoder_tsv(
+        path, loss=float(mse) + args.lmbda * rate_dec_bpp, psnr_db=psnr_dec,
+        rate_bpp=rate_dec_bpp, lmbda=args.lmbda, seq_name=seq_name,
+        n_pixels=original.n_pixels, display_order=frame.display_order,
+        coding_order=frame.coding_order)
 
     psnr_enc = float(res["logs"].psnr_db)
     # Encoder-side estimate incl. NN rate (detailed logs carry it; the plain

@@ -157,6 +157,11 @@ def coolchic_forward(params: dict, cfg: CoolChicConfig, *,
     syn_grids = [g for g, hyper in zip(grids, cfg.flag_is_hyperlatent) if not hyper]
     dense = upsampling_apply(params["upsampling"], syn_grids, cfg.ups_k_size,
                              cfg.ups_preconcat_k_size, training)
+    # under a spatial mesh the replicated pyramid output goes back to
+    # H-sharded here, so the synthesis convs run sharded with GSPMD halos
+    from coolchic_tpu.models.upsampling import respread_spatial
+
+    dense = respread_spatial(dense)
     syn_in = synthesis_input(cfg, dense, cr, no_cr=no_cr, only_cr=only_cr)
     syn_out = synthesis_apply(params["synthesis"], cfg, syn_in, training=training)
     raw_out = interpolate(syn_out, cfg.img_size, cfg.final_upsampling_type)

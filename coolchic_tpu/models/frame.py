@@ -52,6 +52,11 @@ class FrameConfig:
 class FrameEncoderOutput(NamedTuple):
     decoded_image: jnp.ndarray | dict
     rate: Dict[str, jnp.ndarray]
+    # inter-frame intermediates for the detailed logs (reference
+    # FrameEncoderOutput.additional_data, training/test.py:160-235):
+    # {"alpha", "beta", "pred", "residue", "flow_1", "flow_2"}; None for I
+    # frames or when not requested.
+    additional_data: Optional[dict] = None
 
 
 def frame_encoder_init(key: jax.Array, fcfg: FrameConfig,
@@ -88,6 +93,7 @@ def frame_encoder_forward(params: dict, fcfg: FrameConfig, *,
                           training: bool = True,
                           ac_max_val: int = -1,
                           cr: Optional[dict] = None) -> FrameEncoderOutput:
+    additional: Optional[dict] = None
     cc_out = {}
     for name, cfg in fcfg.cc_cfgs.items():
         if key is not None:
@@ -124,6 +130,8 @@ def frame_encoder_forward(params: dict, fcfg: FrameConfig, *,
 
         if fcfg.frame_type == "P":
             pred = warp_fn(refs[0], flow_1, fcfg.warp_filter_size, training=training)
+            beta = None
+            flow_2 = None
         else:
             flow_2 = motion[:, 2:4]
             beta = jnp.clip(raw[:, 4:5] + 0.5, 0.0, 1.0)
@@ -131,6 +139,9 @@ def frame_encoder_forward(params: dict, fcfg: FrameConfig, *,
                 + (1.0 - beta) * warp_fn(refs[1], flow_2, fcfg.warp_filter_size,
                                          training=training)
         decoded = alpha * pred + residue
+        additional = {"alpha": alpha, "beta": beta, "pred": pred,
+                      "masked_pred": alpha * pred, "residue": residue,
+                      "flow_1": flow_1, "flow_2": flow_2}
 
     if fcfg.frame_data_type == "yuv420":
         decoded = {k: jnp.clip(v, 0.0, 1.0) for k, v in _to_420(decoded).items()}
@@ -144,4 +155,5 @@ def frame_encoder_forward(params: dict, fcfg: FrameConfig, *,
         else:
             decoded = jnp.round(decoded * max_dyn) / max_dyn
 
-    return FrameEncoderOutput(decoded_image=decoded, rate=rate)
+    return FrameEncoderOutput(decoded_image=decoded, rate=rate,
+                              additional_data=additional)

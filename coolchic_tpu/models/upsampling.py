@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,6 +145,47 @@ def _preconcat(x: jnp.ndarray, half: jnp.ndarray, k: int, training: bool) -> jnp
     return y + x
 
 
+def _pin_spatial(x: jnp.ndarray) -> jnp.ndarray:
+    """Under an ambient mesh with a "space" axis (jax.set_mesh in
+    parallel/spatial.py), pin every pyramid intermediate to REPLICATED. The
+    pyramid's per-level matmuls are tiny next to the synthesis convs, but
+    the deep levels' backward tensors otherwise inherit degenerate
+    H-shardings that drive GSPMD into "involuntary full rematerialization"
+    on the einsum transposes; the dense stack is resharded to H-split right
+    after upsampling (models/coolchic.py), so the expensive stages still run
+    spatially sharded. No-op when no mesh is set (single chip, shard_map
+    bodies)."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or list(getattr(mesh, "shape", {})) != ["space"]:
+            return x
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        return _jax.lax.with_sharding_constraint(x, P())
+    except Exception:
+        return x
+
+
+def respread_spatial(x: jnp.ndarray) -> jnp.ndarray:
+    """Reshard a dense [.., H, W] stack back onto the "space" axis after the
+    replicated upsampling pyramid (see _pin_spatial); identity without an
+    ambient spatial mesh or an indivisible H."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or list(getattr(mesh, "shape", {})) != ["space"]:
+            return x
+        n = mesh.shape["space"]
+        if x.shape[-2] % n != 0:
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, P(*([None] * (x.ndim - 2)), "space", None))
+    except Exception:
+        return x
+
+
 def upsampling_apply(params: dict, grids: list[jnp.ndarray], ups_k_size: int,
                      ups_preconcat_k_size: int, training: bool) -> jnp.ndarray:
     """Latent grids (largest first, each [H_i, W_i]) -> dense [C, H, W] stack.
@@ -160,6 +202,7 @@ def upsampling_apply(params: dict, grids: list[jnp.ndarray], ups_k_size: int,
         high = _preconcat(target[None, None], params["conv_half"][idx % n_ups],
                           ups_preconcat_k_size, training)
         acc = jnp.concatenate([high, x.reshape(1, -1, *x.shape[-2:])], axis=1)
+        acc = _pin_spatial(acc)
     # acc: [1, C, H, W] with channel 0 = largest grid ... channel C-1 = smallest
     return acc[0]
 

@@ -64,12 +64,16 @@ def _make_batched(fns, mesh):
     """vmapped (and optionally shard_map'd over mesh axis "data") window and
     eval over the image batch. The window's step counts are STATIC (they pick
     the scan lengths), so `window` is jitted with them as static args and the
-    mapped closure captures them."""
+    mapped closure captures them.
+
+    `refs` rides the batch axis as a pytree (a list of [n, 1, C, H, W]
+    stacked reference frames for inter-frame slots; None — a leafless
+    pytree, so the same in_axes work — for intra batches)."""
     from functools import partial
 
     def make_window_v(n_blocks, rem):
-        def window_one(params, opt_state, k, target, lam, lr, temp, noise):
-            carry = (params, opt_state, k, lr, temp, noise, target, None, None,
+        def window_one(params, opt_state, k, target, refs, lam, lr, temp, noise):
+            carry = (params, opt_state, k, lr, temp, noise, target, refs, None,
                      lam)
             if n_blocks > 0:
                 carry, _ = jax.lax.scan(fns["block"], carry, None, length=n_blocks)
@@ -77,11 +81,15 @@ def _make_batched(fns, mesh):
                 carry, _ = jax.lax.scan(fns["plain_step"], carry, None, length=rem)
             return carry[0], carry[1], carry[2]
 
-        return jax.vmap(window_one, in_axes=(0, 0, 0, 0, 0, None, None, None))
+        # noise rides the batch axis too: warm-up noise is λ-derived per
+        # slot (reference training/presets.py:311), and mixed-λ chunks give
+        # each slot its own level
+        return jax.vmap(window_one, in_axes=(0, 0, 0, 0, 0, 0, None, None, 0))
 
     # λ rides the batch axis: the sweep batches across images AND rate points
     # with one compile (λ is traced in the carry, train.py:_make_fns).
-    eval_v = jax.vmap(lambda p, t, lam: fns["eval_fn_lam"](p, t, None, None, lam))
+    eval_v = jax.vmap(
+        lambda p, t, refs, lam: fns["eval_fn_lam"](p, t, refs, None, lam))
 
     def _fused_update(eval_fn):
         # eval + per-image best-snapshot as ONE device call: the unjitted
@@ -90,9 +98,9 @@ def _make_batched(fns, mesh):
         # best_params/best_loss are donated -- they are replaced every call.
         from functools import partial as _partial
 
-        @_partial(jax.jit, donate_argnums=(3, 4))
-        def eval_update(p, t, lam, best_params, best_loss):
-            lo = eval_fn(p, t, lam)
+        @_partial(jax.jit, donate_argnums=(4, 5))
+        def eval_update(p, t, refs, lam, best_params, best_loss):
+            lo = eval_fn(p, t, refs, lam)
             improved = lo.loss < best_loss
             new_best = _select(improved, p, best_params)
             return new_best, jnp.where(improved, lo.loss, best_loss), improved, lo
@@ -104,35 +112,40 @@ def _make_batched(fns, mesh):
 
         b = P("data")
 
-        @partial(jax.jit, static_argnums=(8, 9))
-        def window(p, o, k, t, lam, lr, temp, noise, n_blocks, rem):
+        @partial(jax.jit, static_argnums=(9, 10))
+        def window(p, o, k, t, refs, lam, lr, temp, noise, n_blocks, rem):
             wm = jax.shard_map(
                 make_window_v(n_blocks, rem), mesh=mesh,
-                in_specs=(b, b, b, b, b, P(), P(), P()),
+                in_specs=(b, b, b, b, b, b, P(), P(), b),
                 out_specs=(b, b, b), check_vma=False)
-            return wm(p, o, k, t, lam, jnp.float32(lr), jnp.float32(temp),
-                      jnp.float32(noise))
+            return wm(p, o, k, t, refs, lam, jnp.float32(lr), jnp.float32(temp),
+                      jnp.asarray(noise, jnp.float32))
 
-        eval_m = jax.shard_map(eval_v, mesh=mesh, in_specs=(b, b, b),
+        eval_m = jax.shard_map(eval_v, mesh=mesh, in_specs=(b, b, b, b),
                                out_specs=b, check_vma=False)
         return window, jax.jit(eval_m), _fused_update(eval_m)
 
     # donate params/opt/keys: the window consumes and replaces them, so XLA
     # reuses their HBM instead of holding both generations live (the batch
     # size is activation+state bound)
-    @partial(jax.jit, static_argnums=(8, 9), donate_argnums=(0, 1, 2))
-    def window(p, o, k, t, lam, lr, temp, noise, n_blocks, rem):
-        return make_window_v(n_blocks, rem)(p, o, k, t, lam, jnp.float32(lr),
-                                            jnp.float32(temp), jnp.float32(noise))
+    @partial(jax.jit, static_argnums=(9, 10), donate_argnums=(0, 1, 2))
+    def window(p, o, k, t, refs, lam, lr, temp, noise, n_blocks, rem):
+        return make_window_v(n_blocks, rem)(p, o, k, t, refs, lam,
+                                            jnp.float32(lr), jnp.float32(temp),
+                                            jnp.asarray(noise, jnp.float32))
 
     return window, jax.jit(eval_v), _fused_update(eval_v)
 
 
 def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose,
-                   lmbda_b=None):
+                   lmbda_b=None, noise_b=None, refs_b=None):
     """One training phase over the image batch; returns best params per image.
     `lmbda_b` (optional [n] vector) gives each batch slot its own rate point —
-    λ is traced, so mixed-λ batches share one compile."""
+    λ is traced, so mixed-λ batches share one compile. `noise_b` (optional
+    [n, 2] (start, end) rows) overrides phase.noise_parameter per slot, so
+    mixed-λ warm-up keeps the reference's λ-derived noise level per slot.
+    `refs_b` (optional list of [n, 1, C, H, W]) gives each slot its decoded
+    reference frames — inter-frame slots of one GOP wave batch together."""
     from coolchic_tpu.train.train import init_opt_state
 
     n = targets_b.shape[0] if not isinstance(targets_b, dict) \
@@ -141,11 +154,16 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
         lmbda_b = jnp.full((n,), phase.lmbda, dtype=jnp.float32)
     else:
         lmbda_b = jnp.asarray(lmbda_b, dtype=jnp.float32)
+    if noise_b is None:
+        noise_b = np.tile(np.asarray(phase.noise_parameter, np.float32), (n, 1))
+    else:
+        noise_b = np.asarray(noise_b, np.float32).reshape(n, 2)
     fns = _make_fns(
         fcfg, phase.quantizer_noise_type, phase.quantizer_type,
         tuple(sorted(phase.dist_weight.items())), phase.lmbda,
         tuple(phase.betas_model), tuple(phase.betas_latent),
-        phase.precondition_frequency_model, phase.freq_valid, False)
+        phase.precondition_frequency_model, phase.freq_valid,
+        refs_b is not None)
     window, eval_b, eval_update = _make_batched(fns, mesh)
     pf = fns["pf"]
     # Hoist the (constant) wasserstein target features out of the steps;
@@ -157,7 +175,10 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
         lambda x: jnp.broadcast_to(x, (n,) + x.shape).copy(), opt1)
     keys = jax.random.split(key, n)
 
-    best_loss = eval_b(params_b, targets_b, lmbda_b).loss
+    if refs_b is not None:
+        refs_b = [jnp.asarray(r, jnp.float32) for r in refs_b]
+
+    best_loss = eval_b(params_b, targets_b, refs_b, lmbda_b).loss
     # distinct buffers: the window DONATES params_b, so the best-snapshot must
     # never alias it (cf. the round-2 warmup donated-alias fix, f2246ff)
     best_params = jax.tree_util.tree_map(jnp.copy, params_b)
@@ -178,18 +199,21 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
 
         lr = cosine_lr(phase.lr, w_idx, t_max) if phase.schedule_lr else phase.lr
         temp = linear_schedule(phase.softround_temperature, cnt, phase.max_itr)
-        noise = linear_schedule(phase.noise_parameter, cnt, phase.max_itr)
+        # per-slot linear schedule (same math as linear_schedule, vectorised)
+        noise = (noise_b[:, 0]
+                 + cnt * (noise_b[:, 1] - noise_b[:, 0]) / phase.max_itr)
         n_steps = min(phase.freq_valid, phase.max_itr - cnt)
 
-        params_b, opt_b, keys = window(params_b, opt_b, keys, targets_b, lmbda_b,
-                                       lr, temp, noise, n_steps // pf, n_steps % pf)
+        params_b, opt_b, keys = window(params_b, opt_b, keys, targets_b, refs_b,
+                                       lmbda_b, lr, temp, noise,
+                                       n_steps // pf, n_steps % pf)
         cnt += n_steps
         monitor.iterations_counter += n_steps * n
 
         # fused eval + best-snapshot (one remote call); fetching `improved`
         # is the host sync point for the patience counters
         best_params, best_loss, improved, lo = eval_update(
-            params_b, targets_b, lmbda_b, best_params, best_loss)
+            params_b, targets_b, refs_b, lmbda_b, best_params, best_loss)
         imp = np.asarray(improved)
         since_record = np.where(imp, 0, since_record + 1)
         if verbose:
@@ -241,6 +265,15 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
     lmbda_b = (jnp.asarray([x for x in lmbdas_f], dtype=jnp.float32)
                if lmbdas is not None else None)
 
+    # Per-slot λ-derived warm-up noise (reference training/presets.py:311):
+    # in a mixed-λ chunk every slot warms up at the noise level its own λ
+    # would give, not the level derived from the preset's placeholder λ.
+    wu_noise_b = None
+    if lmbdas is not None:
+        rows = [preset.warmup_noise_parameter(lam) for lam in lmbdas_f]
+        if all(r is not None for r in rows):
+            wu_noise_b = np.asarray(rows, np.float32)
+
     if preset.warmup.phases and n_candidates > 1:
         wu_phase = preset.warmup.phases[0].training_phase
         cand_best = None
@@ -254,7 +287,7 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
             key, sub = jax.random.split(key)
             params_b, loss_b = _batched_phase(params_b, targets_b, fcfg, wu_phase,
                                               sub, mesh, monitor, verbose=False,
-                                              lmbda_b=lmbda_b)
+                                              lmbda_b=lmbda_b, noise_b=wu_noise_b)
             if cand_best is None:
                 cand_best, cand_best_loss = params_b, loss_b
             else:

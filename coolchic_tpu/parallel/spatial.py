@@ -40,8 +40,12 @@ def shard_spatial(tree, mesh: Mesh, img_size: tuple[int, int] | None = None):
 
     def place(path, x):
         ks = jax.tree_util.keystr(path)
-        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[-2] % n == 0 and (
-                "latents" in ks or x.ndim == 4):
+        # shard only grids with >= 4 rows per device: thinner slices are all
+        # halo (9x9 context = 4-row halos), and the deep-pyramid tail's tiny
+        # gradients otherwise inherit degenerate shardings that force GSPMD
+        # into involuntary full rematerialization on the upsampling einsums
+        if (hasattr(x, "ndim") and x.ndim >= 2 and x.shape[-2] % n == 0
+                and x.shape[-2] // n >= 4 and ("latents" in ks or x.ndim == 4)):
             spec = P(*([None] * (x.ndim - 2) + ["space", None]))
             return jax.device_put(x, NamedSharding(mesh, spec))
         return jax.device_put(x, NamedSharding(mesh, P()))
@@ -79,11 +83,15 @@ def make_spatial_train(fcfg: FrameConfig, pkey: tuple, mesh: Mesh,
         return params, opt, target, key
 
     def window(params, opt, key, target, lr, temp, noise, length=freq_valid):
-        return fns["train_window"](params, opt, key, jnp.float32(lr),
-                                   jnp.float32(temp), jnp.float32(noise),
-                                   target, None, None, length=length)
+        # ambient mesh so the model can pin pyramid intermediates to
+        # explicit shardings (models/upsampling.py:_pin_spatial)
+        with jax.set_mesh(mesh):
+            return fns["train_window"](params, opt, key, jnp.float32(lr),
+                                       jnp.float32(temp), jnp.float32(noise),
+                                       target, None, None, length=length)
 
     def evaluate(params, target):
-        return fns["eval_fn"](params, target, None, None)
+        with jax.set_mesh(mesh):
+            return fns["eval_fn"](params, target, None, None)
 
     return window, evaluate, prepare

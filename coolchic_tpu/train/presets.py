@@ -65,15 +65,31 @@ class Preset:
         # concrete preset's __post_init__ (subclasses are not re-decorated).
         pass
 
+    def warmup_noise_parameter(self, lmbda: float):
+        """Warm-up noise_parameter a slot at rate point `lmbda` would get if
+        the preset were built for that λ; None when the preset's warm-up
+        noise is not λ-derived. Lets mixed-λ batched chunks keep the
+        reference's λ-dependent warm-up noise per slot (reference
+        training/presets.py:311)."""
+        return None
+
+
+def _intra_warmup_noise_level(lmbda: float) -> float:
+    """λ-dependent warm-up init noise (reference training/presets.py:311)."""
+    return (-0.432 * math.log10(lmbda) + 0.747) / 10.0
+
 
 class PresetIntra(Preset):
+    def warmup_noise_parameter(self, lmbda: float):
+        lvl = _intra_warmup_noise_level(lmbda)
+        return (lvl, lvl)
+
     def __post_init__(self):
         self.preset_name = "intra"
         if self.itr_main_training < 2000:
             raise ValueError("intra preset requires --n_itr >= 2000")
 
-        log_lambda = math.log10(self.lmbda)
-        init_noise_level = (-0.432 * log_lambda + 0.747) / 10.0
+        init_noise_level = _intra_warmup_noise_level(self.lmbda)
 
         iter_ste_training = 500
         iter_core_training = self.itr_main_training - iter_ste_training

@@ -322,8 +322,15 @@ def test(params, fcfg: FrameConfig, target, refs=None, cr=None,
 
 def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
           refs=None, cr=None, key: Optional[jax.Array] = None,
-          monitor: Optional[EncoderMonitor] = None, verbose: bool = False) -> dict:
-    """Run one training phase; returns the best parameters found."""
+          monitor: Optional[EncoderMonitor] = None, verbose: bool = False,
+          spatial_mesh=None) -> dict:
+    """Run one training phase; returns the best parameters found.
+
+    `spatial_mesh` (optional 1-axis "space" Mesh): shard THIS image's
+    latents/target/activations along H over the mesh (parallel/spatial.py
+    placements); GSPMD inserts the conv/context halo exchanges and psums the
+    reductions, so the same jitted window serves both layouts. For 2K/4K
+    frames whose activations exceed one chip's HBM (SURVEY.md §7.8a)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     monitor = monitor or EncoderMonitor()
     start_time = time.time()
@@ -334,6 +341,19 @@ def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
         tuple(phase.betas_model), tuple(phase.betas_latent),
         phase.precondition_frequency_model, phase.freq_valid, refs is not None)
     train_window, eval_fn = fns["train_window"], fns["eval_fn"]
+    if spatial_mesh is not None:
+        # ambient mesh during trace so the model pins pyramid intermediates
+        # to explicit shardings (models/upsampling.py:_pin_spatial)
+        import functools
+
+        def _with_mesh(f):
+            @functools.wraps(f)
+            def g(*a, **kw):
+                with jax.set_mesh(spatial_mesh):
+                    return f(*a, **kw)
+            return g
+
+        train_window, eval_fn = _with_mesh(train_window), _with_mesh(eval_fn)
 
     opt_state = init_opt_state(params, fns["hp_weight"], fns["hp_latent"])
 
@@ -347,6 +367,21 @@ def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
         grads0 = fns["grad_fn"](params, sub, jnp.float32(temp0),
                                 jnp.float32(noise0), target, refs, cr)
         opt_state = seed_opt_state(params, opt_state, grads0, fns["hp_weight"])
+
+    if spatial_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from coolchic_tpu.parallel.spatial import shard_spatial, shard_target
+
+        params = shard_spatial(params, spatial_mesh)
+        opt_state = shard_spatial(opt_state, spatial_mesh)
+        target = shard_target(target, spatial_mesh)
+        if refs is not None:
+            refs = [shard_target(r, spatial_mesh) for r in refs]
+        if cr is not None:
+            cr = [jax.device_put(g, NamedSharding(spatial_mesh, P()))
+                  for g in cr]
+        key = jax.device_put(key, NamedSharding(spatial_mesh, P()))
 
     best = logs_from_loss(eval_fn(params, target, refs, cr))
     initial = best

@@ -87,9 +87,14 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
                      workdir: str, preset: Preset, cfg_args: dict[str, dict],
                      warp_filter_size: int = 8, seed: int = 0, verbose: bool = True,
                      rdoq: bool = True, tune: str = "mse",
-                     profile: str = "ref") -> dict:
+                     profile: str = "ref", spatial_shard: int = 0) -> dict:
     """Encode one frame; returns {bitstream bytes, logs}. Decoded refs are
-    read from (and this frame's decoded output written to) the workdir."""
+    read from (and this frame's decoded output written to) the workdir.
+
+    `spatial_shard` > 1 shards THIS frame's training along image height over
+    that many devices (parallel/spatial.py GSPMD halos) — for frames whose
+    activations exceed one chip's HBM (2K/4K, SURVEY.md §7.8a). Warm-up
+    falls back to the serial tournament (each candidate trains sharded)."""
     frame.set_frame_data(load_frame_data_from_file(
         video_path, frame.display_order + frame.frame_offset))
     fdata = frame.data
@@ -108,6 +113,79 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
         return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
                                fdata, workdir, is_image, verbose, profile=profile,
                                lmbda=preset.lmbda)
+
+    prep = _prep_frame(frame, fdata, is_image, workdir, preset, cfg_args,
+                       warp_filter_size, seed, verbose, tune)
+    cfgs, fcfg, target, cr = prep["cfgs"], prep["fcfg"], prep["target"], prep["cr"]
+    monitor, key = prep["monitor"], prep["key"]
+    refs_arg, candidates = prep["refs_arg"], prep["candidates"]
+
+    sp_mesh = None
+    if spatial_shard and spatial_shard > 1:
+        from jax.sharding import Mesh as _Mesh
+
+        devs = jax.devices()
+        if len(devs) < spatial_shard:
+            raise ValueError(f"--spatial_shard {spatial_shard} needs that many "
+                             f"devices, have {len(devs)}")
+        sp_mesh = _Mesh(np.asarray(devs[:spatial_shard]), ("space",))
+        if verbose:
+            print(f"spatial sharding: H over {spatial_shard} devices", flush=True)
+
+    if preset.warmup.phases:
+        # The vmapped warm-up multiplies every activation by the candidate
+        # count; warmup_batched chunks the candidate batch to the
+        # COOLCHIC_WARMUP_BATCH_PX activation budget (pixels x candidates),
+        # so any frame size runs batched (the round-1 sequential fallback is
+        # gone -- chunking replaces it). Spatially-sharded frames use the
+        # serial tournament: each candidate trains sharded over the mesh.
+        wu = warmup_batched if (jax.default_backend() != "cpu"
+                                and len(candidates) > 1 and sp_mesh is None) \
+            else warmup
+        wu_kw = {"spatial_mesh": sp_mesh} if wu is warmup else {}
+        with monitor.timed("warmup"):
+            params = wu(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
+                        key=key, monitor=monitor, verbose=verbose, **wu_kw)
+    else:
+        params = candidates[0]
+
+    for idx, phase in enumerate(preset.training_phases):
+        key, sub = jax.random.split(key)
+        with monitor.timed(f"train_phase_{idx}"):
+            params = train(params, fcfg, target, phase, refs=refs_arg, cr=cr,
+                           key=sub, monitor=monitor, verbose=verbose,
+                           spatial_mesh=sp_mesh)
+
+    if sp_mesh is not None:
+        # gather the (tiny) trained pytree back to one device so the
+        # quantize / RDOQ / bitstream host stages see plain arrays
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x), jax.devices()[0]), params)
+
+    params, nn_side_info = _quantize_frame(params, fcfg, preset, target, refs_arg,
+                                           cr, fdata, monitor, rdoq, verbose)
+
+    if verbose:
+        print(f"frame {frame.frame_type}{frame.display_order}: "
+              f"{monitor.iterations_counter} iters, "
+              f"{monitor.total_training_time_sec:.1f}s training\n"
+              + monitor.report(), flush=True)
+
+    from coolchic_tpu.utils.checkpoint import save_frame_encoder
+
+    save_frame_encoder(ckpt_path, params, fcfg, nn_side_info)
+    return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
+                           fdata, workdir, is_image, verbose, profile=profile,
+                           lmbda=preset.lmbda, monitor=monitor)
+
+
+def _prep_frame(frame: Frame, fdata: FrameData, is_image: bool, workdir: str,
+                preset: Preset, cfg_args: dict[str, dict], warp_filter_size: int,
+                seed: int, verbose: bool, tune: str) -> dict:
+    """Per-frame encode prep shared by the serial and wave-parallel paths:
+    load decoded refs, build configs, global-translation + flow-guided motion
+    pretraining, warm-up candidate construction."""
+    h, w = fdata.img_size
 
     # Decoded references from the workdir.
     refs_data = []
@@ -197,28 +275,16 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
             p["motion"] = pretrained_motion
         candidates.append(p)
 
-    refs_arg = refs_dense if frame.frame_type != "I" else None
-    if preset.warmup.phases:
-        # The vmapped warm-up multiplies every activation by the candidate
-        # count; warmup_batched chunks the candidate batch to the
-        # COOLCHIC_WARMUP_BATCH_PX activation budget (pixels x candidates),
-        # so any frame size runs batched (the round-1 sequential fallback is
-        # gone -- chunking replaces it).
-        wu = warmup_batched if (jax.default_backend() != "cpu"
-                                and len(candidates) > 1) else warmup
-        with monitor.timed("warmup"):
-            params = wu(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
-                        key=key, monitor=monitor, verbose=verbose)
-    else:
-        params = candidates[0]
+    return {"cfgs": cfgs, "fcfg": fcfg, "target": target, "cr": cr,
+            "monitor": monitor, "key": key, "candidates": candidates,
+            "refs_arg": refs_dense if frame.frame_type != "I" else None}
 
-    for idx, phase in enumerate(preset.training_phases):
-        key, sub = jax.random.split(key)
-        with monitor.timed(f"train_phase_{idx}"):
-            params = train(params, fcfg, target, phase, refs=refs_arg, cr=cr,
-                           key=sub, monitor=monitor, verbose=verbose)
 
-    # ----- NN quantization per cool-chic.
+def _quantize_frame(params: dict, fcfg: FrameConfig, preset: Preset, target,
+                    refs_arg, cr, fdata: FrameData, monitor: EncoderMonitor,
+                    rdoq: bool, verbose: bool) -> tuple[dict, dict]:
+    """NN quantization (+RDOQ) of every cool-chic in `params`; returns the
+    quantized params and the per-cc (q_shift, expgol) side info."""
     phase0 = preset.training_phases[-1]
     n_pixels = fdata.n_pixels
     nn_side_info = {}
@@ -249,36 +315,26 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
         if rdoq:
             from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 
-            rdoq_target = (_dense(fdata) if frame.frame_type == "I"
+            rdoq_target = (_dense(fdata) if fcfg.frame_type == "I"
                            and cc_name == "residue" else None)
             with monitor.timed("rdoq"):
                 q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift,
                                          expgol, phase0.lmbda, target=rdoq_target,
-                                         frame_type=frame.frame_type,
+                                         frame_type=fcfg.frame_type,
                                          frame_data_type=fdata.frame_data_type,
                                          bitdepth=fdata.bitdepth, verbose=verbose)
         params = dict(params)
         params[cc_name] = q_params
         nn_side_info[cc_name] = (q_shift, expgol)
 
-    if verbose:
-        print(f"frame {frame.frame_type}{frame.display_order}: "
-              f"{monitor.iterations_counter} iters, "
-              f"{monitor.total_training_time_sec:.1f}s training\n"
-              + monitor.report(), flush=True)
-
-    from coolchic_tpu.utils.checkpoint import save_frame_encoder
-
-    save_frame_encoder(ckpt_path, params, fcfg, nn_side_info)
-    return _finalize_frame(frame, coding_structure, params, fcfg, nn_side_info,
-                           fdata, workdir, is_image, verbose, profile=profile,
-                           lmbda=preset.lmbda)
+    return params, nn_side_info
 
 
 def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dict,
                     fcfg: FrameConfig, nn_side_info: dict, fdata: FrameData,
                     workdir: str, is_image: bool, verbose: bool,
-                    profile: str = "ref", lmbda: float = 0.0) -> dict:
+                    profile: str = "ref", lmbda: float = 0.0,
+                    monitor: Optional[EncoderMonitor] = None) -> dict:
     """Bitstream write + decoded-frame save + final logs (shared between the
     fresh-encode and resume-from-checkpoint paths)."""
     from coolchic_tpu.models.frame import frame_cr_grids as _cr, frame_encoder_forward
@@ -317,16 +373,24 @@ def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dic
         extra={"frame_type": fcfg.frame_type, "n_bytes": len(payload)})
 
     # Detailed per-frame logs (reference FrameEncoderLogs, training/test.py):
-    # per-grid bpp, per-module NN bpp, MAC/px, alpha/beta stats -- one wide
-    # TSV row next to the summary TSV.
-    from coolchic_tpu.train.logs import detailed_test
+    # per-grid bpp, per-module NN bpp, MAC/px, alpha/beta stats, prediction
+    # dB, per-feature rates -- one wide TSV row next to the summary TSV,
+    # plus a column-identical reference-schema results_encoder.tsv.
+    from coolchic_tpu.train.logs import detailed_test, write_reference_encoder_tsv
 
-    detailed = detailed_test(params, fcfg, target, refs=refs_arg, cr=cr,
-                             lmbda=lmbda, nn_side_info=nn_side_info)
-    detailed["seq_name"] = frame.seq_name or os.path.basename(workdir)
-    detailed["lmbda"] = lmbda
+    detailed = detailed_test(
+        params, fcfg, target, refs=refs_arg, cr=cr, lmbda=lmbda,
+        nn_side_info=nn_side_info,
+        encoding_time_second=(monitor.total_training_time_sec if monitor else 0.0),
+        encoding_iterations_cnt=(monitor.iterations_counter if monitor else 0),
+        display_order=frame.display_order, coding_order=frame.coding_order,
+        frame_offset=frame.frame_offset,
+        seq_name=frame.seq_name or os.path.basename(workdir))
     detailed["frame_type"] = fcfg.frame_type
     detailed["n_bytes"] = len(payload)
+    write_reference_encoder_tsv(
+        os.path.join(workdir, f"{frame.display_order:04d}-results_encoder_ref.tsv"),
+        detailed)
     dpath = os.path.join(workdir, f"{frame.display_order:04d}-logs_detailed.tsv")
     with open(dpath, "w") as f:
         keys = list(detailed)
@@ -341,6 +405,115 @@ def _finalize_frame(frame: Frame, coding_structure: CodingStructure, params: dic
 
     return {"payload": payload, "logs": logs, "decoded": decoded,
             "n_bytes": len(payload), "fcfg": fcfg, "detailed": detailed}
+
+
+def encode_wave_group(group: list[Frame], coding_structure: CodingStructure,
+                      video_path: str, workdir: str, preset: Preset,
+                      cfg_args: dict[str, dict], warp_filter_size: int = 8,
+                      seed: int = 0, verbose: bool = True, rdoq: bool = True,
+                      tune: str = "mse", profile: str = "ref") -> list[dict]:
+    """Encode every frame of one GOP wave TOGETHER: per-frame prep (refs,
+    global translation, motion pretraining, warm-up) stays per frame, then
+    the main training phases run as ONE batched program with the frames as
+    batch slots (each with its own decoded references riding the batch
+    axis), then the per-frame quantize/bitstream tail. The TPU-native
+    replacement for the reference's one-slurm-job-per-frame DAG (reference
+    samples/encode.py:147-183): a wave's frames share every compile and the
+    chip's idle lanes instead of queueing behind each other.
+
+    All frames of `group` must share frame type / depth (the wave scheduler
+    guarantees it) and therefore preset, operating point and image size."""
+    import dataclasses
+
+    from coolchic_tpu.parallel.encode_batch import _batched_phase, _index, _stack
+    from coolchic_tpu.utils.checkpoint import save_frame_encoder
+
+    results = []
+    todo: list[tuple[Frame, dict]] = []
+    for frame in group:
+        frame.set_frame_data(load_frame_data_from_file(
+            video_path, frame.display_order + frame.frame_offset))
+        fdata = frame.data
+        is_image = video_path.endswith((".png", ".ppm"))
+        ckpt_path = os.path.join(workdir,
+                                 f"{frame.display_order:04d}-frame_encoder.npz")
+        if os.path.exists(ckpt_path):
+            from coolchic_tpu.utils.checkpoint import load_frame_encoder
+
+            params, fcfg, nn_side_info = load_frame_encoder(ckpt_path)
+            results.append(_finalize_frame(frame, coding_structure, params, fcfg,
+                                           nn_side_info, fdata, workdir, is_image,
+                                           verbose, profile=profile,
+                                           lmbda=preset.lmbda))
+            continue
+        prep = _prep_frame(frame, fdata, is_image, workdir, preset, cfg_args,
+                           warp_filter_size, seed, verbose, tune)
+        todo.append((frame, prep))
+
+    if not todo:
+        return results
+
+    # --- Per-frame warm-up (candidates batch inside warmup_batched).
+    warmed = []
+    for frame, prep in todo:
+        fcfg, target, cr = prep["fcfg"], prep["target"], prep["cr"]
+        candidates, key = prep["candidates"], prep["key"]
+        refs_arg, monitor = prep["refs_arg"], prep["monitor"]
+        if preset.warmup.phases:
+            wu = warmup_batched if (jax.default_backend() != "cpu"
+                                    and len(candidates) > 1) else warmup
+            with monitor.timed("warmup"):
+                p0 = wu(candidates, preset, fcfg, target, refs=refs_arg, cr=cr,
+                        key=key, monitor=monitor, verbose=False)
+        else:
+            p0 = candidates[0]
+        warmed.append(p0)
+
+    # --- Main phases: frames are batch slots of one jitted window. One
+    # canonical fcfg (display index / ref ids are bitstream metadata, not
+    # compute) so every frame of every same-shaped wave shares the compile.
+    fcfg0 = todo[0][1]["fcfg"]
+    canon = dataclasses.replace(
+        fcfg0, frame_display_index=0,
+        index_references=tuple(range(len(fcfg0.index_references))))
+    monitor = todo[0][1]["monitor"]
+    params_b = _stack(warmed)
+    targets_b = _stack([prep["target"] for _, prep in todo])
+    refs_b = None
+    if canon.frame_type != "I":
+        n_refs = len(todo[0][1]["refs_arg"])
+        refs_b = [jnp.stack([prep["refs_arg"][j] for _, prep in todo])
+                  for j in range(n_refs)]
+    key = jax.random.PRNGKey(seed + 7919)
+    for idx, phase in enumerate(preset.training_phases):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        with monitor.timed(f"wave_train_phase_{idx}"):
+            params_b, _ = _batched_phase(params_b, targets_b, canon, phase, sub,
+                                         None, monitor, verbose, refs_b=refs_b)
+        if verbose:
+            print(f"wave phase {idx} ({len(todo)} frames) done in "
+                  f"{time.time() - t0:.1f}s", flush=True)
+
+    # --- Per-frame tail: quantize + RDOQ + bitstream + decoded-frame save.
+    for i, (frame, prep) in enumerate(todo):
+        fdata = frame.data
+        is_image = video_path.endswith((".png", ".ppm"))
+        fcfg, target, cr = prep["fcfg"], prep["target"], prep["cr"]
+        refs_arg = prep["refs_arg"]
+        params = jax.tree_util.tree_map(np.asarray, _index(params_b, i))
+        params, nn_side_info = _quantize_frame(params, fcfg, preset, target,
+                                               refs_arg, cr, fdata,
+                                               prep["monitor"], rdoq, verbose)
+        ckpt_path = os.path.join(workdir,
+                                 f"{frame.display_order:04d}-frame_encoder.npz")
+        save_frame_encoder(ckpt_path, params, fcfg, nn_side_info)
+        results.append(_finalize_frame(frame, coding_structure, params, fcfg,
+                                       nn_side_info, fdata, workdir, is_image,
+                                       verbose, profile=profile,
+                                       lmbda=preset.lmbda,
+                                       monitor=prep["monitor"]))
+    return results
 
 
 def frame_cfg_args(frame_type: str, depth: int) -> tuple[dict, dict]:
@@ -360,32 +533,66 @@ def frame_cfg_args(frame_type: str, depth: int) -> tuple[dict, dict]:
                  lmbda_scale=1.5**depth))
 
 
+def _frame_preset(frame: Frame, lmbda: float, itr_scale: float) -> tuple:
+    cfg_args, sched = frame_cfg_args(frame.frame_type, frame.depth)
+    n_itr = max(int(sched["n_itr"] * itr_scale), 2000)
+    preset_name = "intra" if frame.frame_type == "I" else "inter"
+    preset = AVAILABLE_PRESETS[preset_name](
+        lmbda=lmbda * sched["lmbda_scale"], start_lr=sched["start_lr"],
+        itr_main_training=n_itr,
+        itr_motion_pretrain=max(int(sched["n_itr_motion"] * itr_scale), 0))
+    return cfg_args, preset
+
+
 def encode_video(video_path: str, bitstream_path: str, workdir: str, *,
                  n_frames: int, intra_pos: list[int], p_pos: list[int],
                  lmbda: float = 1e-3, itr_scale: float = 1.0, seed: int = 0,
-                 verbose: bool = True) -> dict:
-    """GOP driver: encode all frames in coding order (samples/encode.py)."""
+                 verbose: bool = True, waves: bool = False) -> dict:
+    """GOP driver: encode all frames in coding order (samples/encode.py).
+
+    `waves=True` groups frames into dependency waves (parallel/gop.py) and
+    encodes every same-(type, depth) group of a wave as ONE batched training
+    program (encode_wave_group) — hierarchical-B GOPs train their widest
+    levels in parallel instead of frame-by-frame."""
     os.makedirs(workdir, exist_ok=True)
     cs = CodingStructure(n_frames=n_frames, intra_pos=list(intra_pos),
                          p_pos=list(p_pos))
     if verbose:
         print(cs.pretty_string(), flush=True)
 
+    by_coding: dict[int, dict] = {}
+    if waves:
+        from coolchic_tpu.parallel.gop import gop_waves
+
+        for wave in gop_waves(cs):
+            groups: dict[tuple, list[Frame]] = {}
+            for frame in wave:
+                groups.setdefault((frame.frame_type, frame.depth), []).append(frame)
+            for (ftype, depth), members in sorted(groups.items()):
+                cfg_args, preset = _frame_preset(members[0], lmbda, itr_scale)
+                if verbose:
+                    names = ", ".join(f"{f.frame_type}{f.display_order}"
+                                      for f in members)
+                    print(f"wave group ({ftype}, depth {depth}): {names}",
+                          flush=True)
+                res_list = encode_wave_group(members, cs, video_path, workdir,
+                                             preset, cfg_args, seed=seed,
+                                             verbose=verbose)
+                for frame, res in zip(members, res_list):
+                    by_coding[frame.coding_order] = res
+    else:
+        for coding_idx in range(cs.get_max_coding_order() + 1):
+            frame = cs.get_frame_from_coding_order(coding_idx)
+            cfg_args, preset = _frame_preset(frame, lmbda, itr_scale)
+            by_coding[coding_idx] = encode_one_frame(
+                frame, cs, video_path, workdir, preset, cfg_args,
+                seed=seed, verbose=verbose)
+
     all_payload = b""
     results = []
-    for coding_idx in range(cs.get_max_coding_order() + 1):
-        frame = cs.get_frame_from_coding_order(coding_idx)
-        cfg_args, sched = frame_cfg_args(frame.frame_type, frame.depth)
-        n_itr = max(int(sched["n_itr"] * itr_scale), 2000)
-        preset_name = "intra" if frame.frame_type == "I" else "inter"
-        preset = AVAILABLE_PRESETS[preset_name](
-            lmbda=lmbda * sched["lmbda_scale"], start_lr=sched["start_lr"],
-            itr_main_training=n_itr,
-            itr_motion_pretrain=max(int(sched["n_itr_motion"] * itr_scale), 0))
-        res = encode_one_frame(frame, cs, video_path, workdir, preset, cfg_args,
-                               seed=seed, verbose=verbose)
-        all_payload += res["payload"]
-        results.append(res)
+    for coding_idx in sorted(by_coding):
+        all_payload += by_coding[coding_idx]["payload"]
+        results.append(by_coding[coding_idx])
 
     with open(bitstream_path, "wb") as f:
         f.write(all_payload)

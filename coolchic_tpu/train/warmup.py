@@ -171,7 +171,8 @@ def warmup_batched(candidates: list[dict], preset: Preset, fcfg: FrameConfig, ta
 
 def warmup(candidates: list[dict], preset: Preset, fcfg: FrameConfig, target, *,
            refs=None, cr=None, key: Optional[jax.Array] = None,
-           monitor: Optional[EncoderMonitor] = None, verbose: bool = False) -> dict:
+           monitor: Optional[EncoderMonitor] = None, verbose: bool = False,
+           spatial_mesh=None) -> dict:
     key = key if key is not None else jax.random.PRNGKey(1)
     monitor = monitor or EncoderMonitor()
     ranked = [{"id": i, "params": p, "loss": None} for i, p in enumerate(candidates)]
@@ -181,7 +182,8 @@ def warmup(candidates: list[dict], preset: Preset, fcfg: FrameConfig, target, *,
         for cand in ranked:
             key, sub = jax.random.split(key)
             cand["params"] = train(cand["params"], fcfg, target, wu_phase.training_phase,
-                                   refs=refs, cr=cr, key=sub, monitor=monitor)
+                                   refs=refs, cr=cr, key=sub, monitor=monitor,
+                                   spatial_mesh=spatial_mesh)
             logs = test(cand["params"], fcfg, target, refs=refs, cr=cr,
                         dist_weight=wu_phase.training_phase.dist_weight,
                         lmbda=wu_phase.training_phase.lmbda)

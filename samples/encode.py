@@ -31,7 +31,8 @@ def encode_video_main(args) -> int:
     p_pos = parse_frame_positions(args.p_pos, args.n_frames)
     res = encode_video(args.input, args.output, args.workdir,
                        n_frames=args.n_frames, intra_pos=intra_pos, p_pos=p_pos,
-                       lmbda=args.lmbda, itr_scale=args.itr_scale, seed=args.seed)
+                       lmbda=args.lmbda, itr_scale=args.itr_scale, seed=args.seed,
+                       waves=args.waves)
     print(f"wrote {res['n_bytes']} bytes to {args.output}")
     return 0
 
@@ -89,6 +90,10 @@ def main() -> int:
     p.add_argument("--recipe", default="intra")
     p.add_argument("--dec_cfg_residue", default="hop")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--waves", action="store_true",
+                   help="encode each GOP dependency wave's same-depth frames "
+                   "as ONE batched training program (replaces the reference's "
+                   "one-slurm-job-per-frame afterok DAG)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
     if args.image_dir:

@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import os
+import re
 import sys
 import time
 
@@ -57,8 +58,15 @@ def build_kodak_targets(n_images: int, image: str = KODIM14):
         if fh:
             v = v[:, :, :, ::-1]
         frames.append(FrameData(base.bitdepth, "rgb", np.ascontiguousarray(v)))
-        stem = os.path.splitext(os.path.basename(image))[0].split("_")[0] \
-            if image != KODIM14 else "kodim14"
+        if image != KODIM14:
+            # full stem, minus a leading WxH size token (so two images that
+            # share a size prefix still get unique slot names)
+            stem = os.path.splitext(os.path.basename(image))[0]
+            parts = stem.split("_")
+            if len(parts) > 1 and re.fullmatch(r"\d+x\d+", parts[0]):
+                stem = "_".join(parts[1:])
+        else:
+            stem = "kodim14"
         names.append(f"{stem}_p{''.join(map(str, perm))}"
                      f"{'_fv' if fv else ''}{'_fh' if fh else ''}")
     return frames, names
@@ -146,26 +154,31 @@ def main():
                 slots = [(fi, lm) for lm in lmbdas for fi in range(len(frames))]
             else:
                 slots = [(fi, lm) for fi in range(len(frames)) for lm in lmbdas]
-            slots = slots[args.first_slot:]
+            # keep each slot's ABSOLUTE index: the chunk seed derives from
+            # it, so a --first_slot/--skip_done resume that lands on the
+            # same chunk boundaries reproduces the uninterrupted run
+            slots = list(enumerate(slots))[args.first_slot:]
             if args.skip_done:
-                slots = [(fi, lm) for fi, lm in slots if not os.path.exists(
-                    os.path.join(args.out, f"{names[fi]}_l{lm:g}.cool"))]
+                slots = [(si, (fi, lm)) for si, (fi, lm) in slots
+                         if not os.path.exists(
+                             os.path.join(args.out, f"{names[fi]}_l{lm:g}.cool"))]
             mk = PresetIntra if args.recipe == "intra" else PresetDebug
             for c0 in range(0, len(slots), args.chunk):
                 sl = slots[c0:c0 + args.chunk]
-                chunk = [frames[fi] for fi, _ in sl]
-                cnames = [names[fi] for fi, _ in sl]
-                clams = [lm for _, lm in sl]
-                # chunk sizes dividing n_images keep chunks single-λ, so the
-                # preset's λ-derived warm-up noise level stays reference-exact;
-                # per-slot λ still drives the loss/tail (mixed chunks allowed).
+                chunk = [frames[fi] for _, (fi, _) in sl]
+                cnames = [names[fi] for _, (fi, _) in sl]
+                clams = [lm for _, (_, lm) in sl]
+                # mixed-λ chunks are fully supported: per-slot λ drives the
+                # loss AND the λ-derived warm-up noise (preset.
+                # warmup_noise_parameter per slot); the preset's own λ is
+                # only a placeholder for schedule lengths.
                 preset = mk(lmbda=clams[0], start_lr=args.start_lr,
                             itr_main_training=args.n_itr)
                 outs = [os.path.join(args.out, f"{n_}_l{lm:g}.cool")
                         for n_, lm in zip(cnames, clams)]
                 t0 = time.time()
                 res = encode_images_batched(chunk, cfgs, preset, outs,
-                                            seed=c0, verbose=True,
+                                            seed=sl[0][0], verbose=True,
                                             rdoq=not args.no_rdoq,
                                             profile=args.profile,
                                             lmbdas=clams)

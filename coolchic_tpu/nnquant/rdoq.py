@@ -581,4 +581,23 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
         params = _set_flat(params, cfg, module, "weight", flat_w)
         params = _set_flat(params, cfg, module, "bias", flat_b)
 
+    # Post-RDOQ exp-Golomb re-search: the greedy edits change the integer
+    # histogram, so the per-tensor order chosen BEFORE RDOQ (nnquant/
+    # quantize.py) can be stale. Re-picking is a pure host histogram scan
+    # and strictly reduces the written NN bytes. (The reference keeps the
+    # pre-RDOQ orders, reference nnquant/rdoq.py:28-215 — this is a free
+    # improvement, largest at high λ where NN rate dominates.)
+    if expgol is not None:
+        from coolchic_tpu.nnquant.quantize import best_expgol
+
+        for module in modules:
+            for wb in ("weight", "bias"):
+                flat = _flat(params, cfg, module, wb)
+                if flat.size == 0:
+                    continue
+                q = float(2.0 ** q_shift[(module, wb)])
+                ints = np.round(flat / q)
+                cnt_new, _ = best_expgol(ints)
+                expgol[(module, wb)] = int(cnt_new)
+
     return params

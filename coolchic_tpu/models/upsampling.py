@@ -226,5 +226,7 @@ def fixed_upsampling(grids: list[jnp.ndarray], mode: str = "bicubic"
             x = x[..., : target.shape[-2], : target.shape[-1]]
         else:
             x = acc
-        acc = jnp.concatenate([target[None], x], axis=0)
+        # same degenerate-sharding guard as the learned pyramid (the IFCE
+        # context path runs this chain on the tiniest grids)
+        acc = _pin_spatial(jnp.concatenate([target[None], x], axis=0))
     return acc, intermediates

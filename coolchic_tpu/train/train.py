@@ -379,8 +379,8 @@ def train(params: dict, fcfg: FrameConfig, target, phase: TrainerPhase, *,
         if refs is not None:
             refs = [shard_target(r, spatial_mesh) for r in refs]
         if cr is not None:
-            cr = [jax.device_put(g, NamedSharding(spatial_mesh, P()))
-                  for g in cr]
+            cr = jax.tree_util.tree_map(
+                lambda g: jax.device_put(g, NamedSharding(spatial_mesh, P())), cr)
         key = jax.device_put(key, NamedSharding(spatial_mesh, P()))
 
     best = logs_from_loss(eval_fn(params, target, refs, cr))

@@ -46,6 +46,15 @@ from coolchic_tpu.utils.parsecli import (
 )
 
 
+def intra_gain_for_lmbda(lmbda: float) -> int:
+    """λ-adaptive intra encoder gain (reference video.py:80-91)."""
+    if lmbda < 0.0002:
+        return 24
+    if lmbda < 0.0005:
+        return 20
+    return 16
+
+
 def _decoded_name(display_idx: int, fdata: FrameData, is_image: bool) -> str:
     """Decoded-frame filename; yuv names carry the WxH / format convention
     required by the loader."""
@@ -206,11 +215,7 @@ def _prep_frame(frame: Frame, fdata: FrameData, is_image: bool, workdir: str,
     if frame.frame_type == "I":
         import dataclasses
 
-        gain = 16
-        if preset.lmbda < 0.0002:
-            gain = 24
-        elif preset.lmbda < 0.0005:
-            gain = 20
+        gain = intra_gain_for_lmbda(preset.lmbda)
         cfgs = {k: dataclasses.replace(v, encoder_gain=gain) for k, v in cfgs.items()}
 
     fcfg = FrameConfig(

@@ -162,22 +162,40 @@ def main():
                 slots = [(si, (fi, lm)) for si, (fi, lm) in slots
                          if not os.path.exists(
                              os.path.join(args.out, f"{names[fi]}_l{lm:g}.cool"))]
+            # group slots by the reference's λ-adaptive encoder gain
+            # (video.py intra_gain_for_lmbda: gain 24/20/16): the gain is a
+            # STATIC config, so a chunk must be single-gain; within a group
+            # mixed-λ batching still applies. Order within a group preserved.
+            from coolchic_tpu.train.video import intra_gain_for_lmbda
+
+            groups: dict[int, list] = {}
+            for s in slots:
+                groups.setdefault(intra_gain_for_lmbda(s[1][1]), []).append(s)
             mk = PresetIntra if args.recipe == "intra" else PresetDebug
-            for c0 in range(0, len(slots), args.chunk):
-                sl = slots[c0:c0 + args.chunk]
+            gain_chunks = []
+            for gain in sorted(groups, reverse=True):
+                g_slots = groups[gain]
+                for c0 in range(0, len(g_slots), args.chunk):
+                    gain_chunks.append((gain, g_slots[c0:c0 + args.chunk]))
+            for chunk_idx, (gain, sl) in enumerate(gain_chunks):
                 chunk = [frames[fi] for _, (fi, _) in sl]
                 cnames = [names[fi] for _, (fi, _) in sl]
                 clams = [lm for _, (_, lm) in sl]
                 # mixed-λ chunks are fully supported: per-slot λ drives the
                 # loss AND the λ-derived warm-up noise (preset.
                 # warmup_noise_parameter per slot); the preset's own λ is
-                # only a placeholder for schedule lengths.
+                # only a placeholder for schedule lengths. Encoder gain is
+                # fixed per chunk by the grouping above.
+                import dataclasses
+
+                g_cfgs = {k: dataclasses.replace(v, encoder_gain=gain)
+                          for k, v in cfgs.items()}
                 preset = mk(lmbda=clams[0], start_lr=args.start_lr,
                             itr_main_training=args.n_itr)
                 outs = [os.path.join(args.out, f"{n_}_l{lm:g}.cool")
                         for n_, lm in zip(cnames, clams)]
                 t0 = time.time()
-                res = encode_images_batched(chunk, cfgs, preset, outs,
+                res = encode_images_batched(chunk, g_cfgs, preset, outs,
                                             seed=sl[0][0], verbose=True,
                                             rdoq=not args.no_rdoq,
                                             profile=args.profile,
@@ -192,7 +210,7 @@ def main():
                 f.flush()
                 n_done += len(res)
                 print(f"[{n_done + args.first_slot}/{len(frames) * len(lmbdas)}] "
-                      f"pair-chunk {c0 // args.chunk}: {len(res)} slots in "
+                      f"pair-chunk {chunk_idx} (gain {gain}): {len(res)} slots in "
                       f"{dt:.1f}s = {len(res) / dt:.3f} img/s", flush=True)
             wall = time.time() - t_all
             print(f"TOTAL {n_done} full encodes (n_itr={args.n_itr}, "

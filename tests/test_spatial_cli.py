@@ -51,7 +51,7 @@ def test_spatial_shard_encode_matches_single_device(tmp_path):
     from coolchic_tpu.train.video import encode_one_frame
 
     video_path = _big_image(tmp_path)
-    cfg_args = {"residue": INTRA_OPERATING_POINTS["vlop"]}
+    cfg_args = {"residue": INTRA_OPERATING_POINTS["lop"]}
     out = {}
     for shard in (0, 8):
         cs = CodingStructure(n_frames=1, intra_pos=[0])

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--lmbda", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="/tmp/ab_flow")
+    ap.add_argument("--json_out", default="",
+                    help="write the A/B summary JSON here")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -87,7 +89,14 @@ def main():
                         "rate_bpp": round(bpp, 5)}
         print(f"P frame [{arm}]: {r1['logs'].psnr_db:.3f} dB {bpp:.4f} bpp",
               flush=True)
-    print(json.dumps(results))
+    out = {"video": os.path.basename(VIDEO), "lmbda": args.lmbda,
+           "n_itr": args.n_itr, "itr_pretrain": args.itr_pretrain,
+           "i_frame": {"psnr_db": round(r0["logs"].psnr_db, 4)},
+           "arms": results}
+    print(json.dumps(out))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

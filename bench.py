@@ -292,6 +292,34 @@ def main():
         extra["encode_full_img_per_s_measured_r2"] = 0.00077
         extra["encode_full_note"] = f"sweep TSV unavailable ({e});" \
             " round-2 figure: batch-3, n_itr=2000, incl rdoq tail"
+    # RD parity headline: decoder-verified 5-point matched-λ head-to-head vs
+    # the live reference encoder (results/round4/README.md §1).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        from coolchic_tpu.utils.results import bd_rate
+
+        ours = {}
+        with open(os.path.join(
+                here, "results/round4/h2h_kodim15_v3/results_decoder.tsv")) as f:
+            hdr = f.readline().strip().split("\t")
+            for ln in f:
+                r = dict(zip(hdr, ln.strip().split("\t")))
+                ours[float(r["lmbda"])] = (float(r["rate_bpp"]),
+                                           float(r["psnr_db_dec"]))
+        ref = {}
+        for lam_s in ("1e-4", "4e-4", "1e-3", "4e-3", "2e-2"):
+            with open(os.path.join(
+                    here, f"results/round3/ref/kodim15_l{lam_s}/"
+                          "0000-results_decoder.tsv")) as f:
+                f.readline()
+                _, psnr, bpp = f.readline().split()[:3]
+            ref[float(lam_s)] = (float(bpp), float(psnr))
+        lams = sorted(set(ours) & set(ref))
+        extra["bd_rate_5pt_vs_ref_pct"] = round(bd_rate(
+            [ours[l][0] for l in lams], [ours[l][1] for l in lams],
+            [ref[l][0] for l in lams], [ref[l][1] for l in lams]), 2)
+    except Exception as e:
+        extra["bd_rate_error"] = str(e)[:120]
     if os.environ.get("COOLCHIC_BENCH_FULL", "0") == "1":
         # In a SUBPROCESS: a fresh remote compile of the batched 512x768 hop
         # window can OOM-kill the worker; the headline metric must survive.

@@ -178,6 +178,27 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
     if refs_b is not None:
         refs_b = [jnp.asarray(r, jnp.float32) for r in refs_b]
 
+    # Reference SOAP first-step parity, batched (train.py seed_opt_state):
+    # each slot's WEIGHT-leaf eigenbases seed from its own first gradient
+    # (one extra vmapped grad eval; only tiny NN-weight grads reach the host).
+    import os as _os
+
+    if _os.environ.get("COOLCHIC_SOAP_SEED", "1") != "0":
+        from coolchic_tpu.train.train import linear_schedule as _ls, seed_opt_state
+
+        temp0 = jnp.float32(_ls(phase.softround_temperature, 0, phase.max_itr))
+        noise0 = jnp.asarray(noise_b[:, 0], jnp.float32)
+        key, sub = jax.random.split(key)
+        seed_keys = jax.random.split(sub, n)
+        grads_b = jax.jit(jax.vmap(
+            fns["grad_fn_lam"],
+            in_axes=(0, 0, None, 0, 0, 0, None, 0)))(
+            params_b, seed_keys, temp0, noise0, targets_b, refs_b, None, lmbda_b)
+        opt_b = _stack([
+            seed_opt_state(_index(params_b, i), _index(opt_b, i),
+                           _index(grads_b, i), fns["hp_weight"])
+            for i in range(n)])
+
     best_loss = eval_b(params_b, targets_b, refs_b, lmbda_b).loss
     # distinct buffers: the window DONATES params_b, so the best-snapshot must
     # never alias it (cf. the round-2 warmup donated-alias fix, f2246ff)

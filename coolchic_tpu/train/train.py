@@ -132,6 +132,7 @@ def _make_fns(fcfg: FrameConfig, quantizer_noise_type: str, quantizer_type: str,
     # λ vector (the Kodak 24x5 sweep batches across rate points too).
     out["eval_fn_lam"] = impl["eval_fn"]
     out["grad_fn"] = grad_fn
+    out["grad_fn_lam"] = impl["grad_fn"]
     out["lmbda"] = lam
     return out
 

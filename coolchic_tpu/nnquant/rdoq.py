@@ -41,8 +41,18 @@ ARM_SHIFTS = tuple(range(-N_SHIFTS, N_SHIFTS + 1))
 # stop almost never walks past +-3, so probe a sparse ladder beyond it.
 SYN_SHIFTS = (-15, -7, -3, -2, -1, 0, 1, 2, 3, 7, 15)
 
-# Rough per-candidate-lane activation budget (bytes) for sizing chunks.
-_LANE_BUDGET_BYTES = 2 * 1024 ** 3
+# Total probe-activation budget (bytes) for sizing the latent scan slabs:
+# the vmapped probe holds lanes x (n_lat/n_chunks x dim) context slabs, and
+# the ARM body's hidden layers multiply that by ~5x. 2 GiB here crashed the
+# remote v5e worker on 512x768 hop (n_lat ~ 524k: 8x31 lanes x 65k-row
+# slabs ~ 10+ GiB peak) -- the round-3 "TPU RDOQ issue" at full size.
+_LANE_BUDGET_BYTES = 256 * 1024 ** 2
+
+# Above this latent count the per-probe scalar counts shrink (fewer lanes):
+# the IFCE scorer materializes a full [n_lat, Cf] context per lane and the
+# synthesis scorer a conv tile stack per lane, neither of which the latent
+# scan slabs bound.
+_BIG_N_LAT = 200_000
 
 
 def _expgol_rate_bits(v: jnp.ndarray, count: int) -> jnp.ndarray:
@@ -500,7 +510,7 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
     # (lanes <= 8 scalars x 31 shifts = 248)
     dim = cfg.total_context_arm
     n_chunks = int(np.clip(
-        -(-248 * n_lat * dim * 4 // _LANE_BUDGET_BYTES), 1, 64))
+        -(-248 * n_lat * dim * 4 // _LANE_BUDGET_BYTES), 1, 1024))
     lat_c = jnp.asarray(_pad_chunks(flat_latent.astype(np.float32), n_chunks))
     mask = np.ones(n_lat, np.float32)
     mask_c = jnp.asarray(_pad_chunks(mask, n_chunks))
@@ -527,7 +537,7 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
             else:
                 full_ctx = ctx_sp
             acts = (lat_c, _pad_chunks_jnp(full_ctx, n_chunks), mask_c)
-            shifts, chunk = ARM_SHIFTS, 8
+            shifts, chunk = ARM_SHIFTS, (4 if n_lat > _BIG_N_LAT else 8)
         elif module == "ifce":
             arm_shapes_w = tuple(_module_shapes(params, cfg, "arm", "weight"))
             arm_shapes_b = tuple(_module_shapes(params, cfg, "arm", "bias"))
@@ -537,7 +547,7 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
                     jnp.asarray(_flat(params, cfg, "arm", "weight")),
                     jnp.asarray(_flat(params, cfg, "arm", "bias")),
                     *latents)
-            shifts, chunk = ARM_SHIFTS, 2
+            shifts, chunk = ARM_SHIFTS, (1 if n_lat > _BIG_N_LAT else 2)
         else:
             syn_grids = [g for g, hyper in zip(latents, cfg.flag_is_hyperlatent)
                          if not hyper]
@@ -557,7 +567,7 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
                 # not apply -- skip (reference-size configs never hit this)
                 continue
             acts = (syn_in, jnp.asarray(np.asarray(target, np.float32)))
-            shifts, chunk = SYN_SHIFTS, 16
+            shifts, chunk = SYN_SHIFTS, (8 if n_lat > _BIG_N_LAT else 16)
 
         for wb in ("weight", "bias"):
             qv = float(2.0 ** q_shift[(module, wb)])

@@ -214,12 +214,9 @@ def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
     if frame_data_type == "yuv420":
         rows_per += rows_per % 2  # keep 420 2x2 blocks intact
     starts = [min(i * rows_per, max(h - rows_per, 0)) for i in range(n_tiles)]
-    # clamped input row indices (halo) per tile: [T, rows_per + 2*halo]
-    in_rows = np.stack([np.clip(np.arange(s - halo, s + rows_per + halo), 0, h - 1)
-                        for s in starts])
-    out_rows = np.stack([np.arange(s, s + rows_per) for s in starts])
     # tiles can overlap at the bottom edge; weight rows so each image row
     # counts exactly once
+    out_rows = np.stack([np.arange(s, s + rows_per) for s in starts])
     row_seen = np.zeros(h, np.int64)
     row_w = []
     for r in out_rows:
@@ -233,11 +230,18 @@ def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
         fb = flat_b.at[idx].set(val) if wb == "bias" else flat_b
         syn = _syn_from_flat(fw, fb, cfg, list(shapes_w), list(shapes_b))
 
+        # replicate-pad H once; tiles become plain dynamic slices (the
+        # row-gather variant of this body faulted the TPU kernel at
+        # 512x768 -- docs/tpu_rdoq_issue.md)
+        syn_pad = jnp.pad(syn_in, ((0, 0), (0, 0), (halo, halo), (0, 0)),
+                          mode="edge")
+
         def body(acc, xs):
-            rows_in, rows_out, w_t = xs
-            tile_in = jnp.take(syn_in, rows_in, axis=2)       # [1, C, rh, W]
+            start, w_t = xs
+            tile_in = jax.lax.dynamic_slice_in_dim(
+                syn_pad, start, rows_per + 2 * halo, axis=2)  # [1, C, rh, W]
             out = synthesis_apply(syn, cfg, tile_in)[:, :, halo:halo + rows_per]
-            tgt = jnp.take(target, rows_out, axis=2)
+            tgt = jax.lax.dynamic_slice_in_dim(target, start, rows_per, axis=2)
             if frame_data_type == "yuv420":
                 from coolchic_tpu.models.frame import _to_420
 
@@ -263,7 +267,7 @@ def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
 
         (sse, npx), _ = jax.lax.scan(
             body, (jnp.float32(0.0), jnp.float32(0.0)),
-            (jnp.asarray(in_rows), jnp.asarray(out_rows), jnp.asarray(row_w)))
+            (jnp.asarray(starts, jnp.int32), jnp.asarray(row_w)))
         dist = sse / npx
         edited = fw if wb == "weight" else fb
         nn_bits = _expgol_rate_bits(jnp.round(edited / q), cnt)
@@ -397,10 +401,10 @@ def _sweep_device(scorer, flat_w: np.ndarray, flat_b: np.ndarray, wb: str,
 
 
 def _sweep(scorer, flat_w, flat_b, wb, shifts, q, acts, chunk, rng,
-           verbose, tag):
+           verbose, tag, force_host: bool = False):
     import os
 
-    if os.environ.get("COOLCHIC_RDOQ_HOST", "0") == "1":
+    if force_host or os.environ.get("COOLCHIC_RDOQ_HOST", "0") == "1":
         return _sweep_host(scorer, flat_w, flat_b, wb, shifts, q, acts, chunk,
                            rng, verbose, tag)
     return _sweep_device(scorer, flat_w, flat_b, wb, shifts, q, acts, chunk,
@@ -567,7 +571,11 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
                 # not apply -- skip (reference-size configs never hit this)
                 continue
             acts = (syn_in, jnp.asarray(np.asarray(target, np.float32)))
-            shifts, chunk = SYN_SHIFTS, (8 if n_lat > _BIG_N_LAT else 16)
+            import os as _os
+
+            chunk = int(_os.environ.get(
+                "COOLCHIC_RDOQ_SYN_CHUNK", 8 if n_lat > _BIG_N_LAT else 16))
+            shifts = SYN_SHIFTS
 
         for wb in ("weight", "bias"):
             qv = float(2.0 ** q_shift[(module, wb)])
@@ -584,9 +592,16 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
                 arm_sb = shapes_b if module == "arm" else arm_shapes_b
                 scorer = _make_rate_scorer(cfg, module, wb, qv, cnt, shapes_w,
                                            shapes_b, arm_sw, arm_sb, n_chunks)
+            # The synthesis sweep runs the HOST chunk loop: its one-probe
+            # program (conv tile scan x lanes) compiles and runs fine, but
+            # the all-chunks device program (lax.scan + rollback lax.cond
+            # embedding THREE copies of it) OOM-kills the remote TPU
+            # compiler at full image sizes (docs/tpu_rdoq_issue.md). The
+            # rate-only ARM/IFCE sweeps keep the single-program device path.
             flat_w, flat_b = _sweep(scorer, flat_w, flat_b, wb, shifts, qv,
                                     acts, chunk, rng, verbose,
-                                    f"{module}.{wb}")
+                                    f"{module}.{wb}",
+                                    force_host=module == "synthesis")
 
         params = _set_flat(params, cfg, module, "weight", flat_w)
         params = _set_flat(params, cfg, module, "bias", flat_b)

@@ -280,6 +280,8 @@ def main():
                 chunks.append(v)
         steady = statistics.median(chunks[1:]) if len(chunks) > 1 else chunks[0]
         rnd = "r4" if tsv == r4 else "r3"
+        basis = ("median over non-first chunks"
+                 if len(chunks) > 1 else "FIRST chunk only (compile-laden)")
         extra[f"encode_full_img_per_s_measured_{rnd}"] = round(steady, 5)
         extra[f"encode_full_vs_ref_cpu_measured_{rnd}"] = round(
             steady * BASELINE_REF_CPU_FULL_ENCODE_S, 1)
@@ -287,7 +289,7 @@ def main():
             "batch-6 512x768 hop pair-sweep chunks, n_itr=3000, incl "
             "warmup+train+quantize"
             + ("+rdoq" if rnd == "r4" else " (round-3 sweep ran --no_rdoq)")
-            + "+bitstream; median over non-first chunks of " + tsv[len(here) + 1:])
+            + f"+bitstream; {basis} of " + tsv[len(here) + 1:])
     except Exception as e:
         extra["encode_full_img_per_s_measured_r2"] = 0.00077
         extra["encode_full_note"] = f"sweep TSV unavailable ({e});" \

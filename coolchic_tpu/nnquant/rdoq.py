@@ -4,7 +4,13 @@ Coverage mirrors the reference (coolchic/nnquant/rdoq.py:28-462): ARM and
 IFCE are scored by pure rate (latent rate + module NN rate -- distortion is
 untouched by entropy-model edits), synthesis by distortion-after-rounding +
 NN rate for I frames of any data type (RGB and YUV420; the reference's
-score_syn_image, rdoq.py:388-462).
+score_syn_image, rdoq.py:388-462). The cases the reference handles with its
+slow full-test() fallback (rdoq.py:131-137) -- the UPSAMPLING module on any
+frame type, synthesis on P/B frames, every module of the motion cool-chic,
+and the size_per_latent[0] != img_size rescale -- are covered by dedicated
+reconstruction scorers (_make_syn_scorer's inter tile path and
+_make_full_scorer) that hold the other cool-chic's contribution as a fixed
+activation instead of re-running a complete forward per probe.
 
 Orchestration is TPU-shaped instead of the reference's one-forward-per-probe
 loop: scalars are processed in CHUNKS -- every (scalar, candidate-shift)
@@ -110,6 +116,14 @@ def _ifce_from_flat(flat_w, flat_b, shapes_w, shapes_b) -> dict:
                      for w, b in zip(ws, bs)]}
 
 
+def _ups_from_flat(flat_w, flat_b, shapes_w, shapes_b) -> dict:
+    ws = _rebuild(flat_w, shapes_w)
+    bs = _rebuild(flat_b, shapes_b)
+    n_ups = len(ws) // 2
+    return {"tconv_half": ws[:n_ups], "conv_half": ws[n_ups:],
+            "tconv_bias": bs[:n_ups], "conv_bias": bs[n_ups:]}
+
+
 def _syn_from_flat(flat_w, flat_b, cfg: CoolChicConfig, shapes_w, shapes_b) -> dict:
     ws = _rebuild(flat_w, shapes_w)
     bs = _rebuild(flat_b, shapes_b)
@@ -199,12 +213,20 @@ def _pad_chunks_jnp(x: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
 @lru_cache(maxsize=16)
 def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
                      cnt: int, shapes_w: tuple, shapes_b: tuple,
-                     frame_data_type: str, bitdepth: int, n_tiles: int):
-    """Synthesis scorer (I frames): distortion after bitdepth rounding (and
-    444->420 conversion for YUV) + lmbda * NN rate / n_pixels. The conv
-    stack runs tile-by-tile over image rows with a receptive-field halo
-    (row indices are clamped, which reproduces replicate padding at image
-    borders exactly), so hundreds of candidate lanes fit in HBM."""
+                     frame_data_type: str, bitdepth: int, n_tiles: int,
+                     frame_type: str = "I", n_warp: int = 0):
+    """Synthesis scorer (residue cool-chic, any frame type): distortion after
+    bitdepth rounding (and 444->420 conversion for YUV) + lmbda * NN rate /
+    n_pixels. The conv stack runs tile-by-tile over image rows with a
+    receptive-field halo (row indices are clamped, which reproduces
+    replicate padding at image borders exactly), so hundreds of candidate
+    lanes fit in HBM.
+
+    For P/B frames (reference nnquant/rdoq.py:131-137 scores these with a
+    full test() fallback) the fixed warped references ride along as `n_warp`
+    extra activations, sliced per tile: the synthesis raw output supplies
+    residue / alpha (/ beta), and the tile reconstruction is
+    alpha * pred + residue exactly as models/frame.py:112-144."""
     h, w = cfg.img_size
     halo = sum((k - 1) // 2 for _, k, _, _ in cfg.parsed_synthesis)
     max_dyn = float(2 ** bitdepth - 1)
@@ -225,7 +247,7 @@ def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
         row_w.append(w_t)
     row_w = np.stack(row_w)  # [T, rows_per]
 
-    def score_one(flat_w, flat_b, idx, val, syn_in, target):
+    def score_one(flat_w, flat_b, idx, val, syn_in, target, *warps):
         fw = flat_w.at[idx].set(val) if wb == "weight" else flat_w
         fb = flat_b.at[idx].set(val) if wb == "bias" else flat_b
         syn = _syn_from_flat(fw, fb, cfg, list(shapes_w), list(shapes_b))
@@ -240,8 +262,21 @@ def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
             start, w_t = xs
             tile_in = jax.lax.dynamic_slice_in_dim(
                 syn_pad, start, rows_per + 2 * halo, axis=2)  # [1, C, rh, W]
-            out = synthesis_apply(syn, cfg, tile_in)[:, :, halo:halo + rows_per]
+            raw = synthesis_apply(syn, cfg, tile_in)[:, :, halo:halo + rows_per]
             tgt = jax.lax.dynamic_slice_in_dim(target, start, rows_per, axis=2)
+            if frame_type == "I":
+                out = raw
+            else:
+                residue = raw[:, :3]
+                alpha = jnp.clip(raw[:, 3:4] + 0.5, 0.0, 1.0)
+                w_tiles = [jax.lax.dynamic_slice_in_dim(wp, start, rows_per,
+                                                        axis=2) for wp in warps]
+                if frame_type == "P":
+                    pred = w_tiles[0]
+                else:
+                    beta = jnp.clip(raw[:, 4:5] + 0.5, 0.0, 1.0)
+                    pred = beta * w_tiles[0] + (1.0 - beta) * w_tiles[1]
+                out = alpha * pred + residue
             if frame_data_type == "yuv420":
                 from coolchic_tpu.models.frame import _to_420
 
@@ -273,8 +308,130 @@ def _make_syn_scorer(cfg: CoolChicConfig, wb: str, lmbda: float, q: float,
         nn_bits = _expgol_rate_bits(jnp.round(edited / q), cnt)
         return dist + lmbda * nn_bits / n_pixels
 
-    inner = jax.vmap(score_one, in_axes=(None, None, None, 0, None, None))
-    return jax.jit(jax.vmap(inner, in_axes=(None, None, 0, 0, None, None)))
+    n_acts = 2 + n_warp
+    inner = jax.vmap(score_one, in_axes=(None, None, None, 0) + (None,) * n_acts)
+    return jax.jit(jax.vmap(inner, in_axes=(None, None, 0, 0) + (None,) * n_acts))
+
+
+def _full_dist(dec_raw: jnp.ndarray, target: jnp.ndarray, frame_data_type: str,
+               max_dyn: float) -> jnp.ndarray:
+    """Full-resolution distortion after bitdepth rounding, same weighting as
+    the tile scorer (every decoded SAMPLE counts once; yuv420 therefore
+    weights Y 4x vs each chroma by pixel count)."""
+    if frame_data_type == "yuv420":
+        from coolchic_tpu.models.frame import _to_420
+
+        dec = {k: jnp.round(jnp.clip(v, 0.0, 1.0) * max_dyn) / max_dyn
+               for k, v in _to_420(dec_raw).items()}
+        tgt = _to_420(target)
+        sse = sum(jnp.sum(jnp.square(dec[k] - tgt[k])) for k in ("y", "u", "v"))
+        npx = sum(dec[k].size for k in ("y", "u", "v"))
+        return sse / npx
+    dec = dec_raw if frame_data_type == "flow" else jnp.clip(dec_raw, 0.0, 1.0)
+    dec = jnp.round(dec * max_dyn) / max_dyn
+    return jnp.mean(jnp.square(dec - target))
+
+
+@lru_cache(maxsize=16)
+def _make_full_scorer(cfg: CoolChicConfig, module: str, wb: str, lmbda: float,
+                      q: float, cnt: int, shapes_w: tuple, shapes_b: tuple,
+                      syn_shapes_w: tuple, syn_shapes_b: tuple,
+                      frame_data_type: str, bitdepth: int, frame_type: str,
+                      role: str, n_grids: int, has_cr: bool, n_aux: int,
+                      warp_filter_size: int):
+    """Full-resolution reconstruction scorer: the cases the reference handles
+    with its slow full-test() fallback (reference nnquant/rdoq.py:131-137) --
+    the UPSAMPLING module (any frame type: edits move the dense stack, which
+    is global, so row tiles do not apply), the synthesis rescale case
+    (size_per_latent[0] != img_size: the synthesis output is interpolated to
+    the image size, reference component/core/coolchic.py forward), and every
+    module of the MOTION cool-chic (edits move the flow, hence the warped
+    prediction). Latent rate is constant under these edits, so the score is
+    distortion(decoded) + lmbda * module NN bits / n_pixels.
+
+    Activation layout (in order):
+      module == "synthesis":  (syn_in, target, *aux)
+      module == "upsampling": (syn_w, syn_b, target, *grids, [cr_extra], *aux)
+    aux for P/B frames:
+      role == "residue": the fixed warped reference(s) (1 for P, 2 for B)
+      role == "motion":  (residue_raw, *globally-shifted refs) -- the flow is
+        re-derived per candidate and the references re-warped in-lane
+        (models/frame.py:112-144, models/warp.py).
+    """
+    from coolchic_tpu.models.upsampling import upsampling_apply
+    from coolchic_tpu.models.warp import warp_fn
+    from coolchic_tpu.ops.resize import interpolate as _interp
+
+    h, w = cfg.img_size
+    n_pixels = h * w
+    max_dyn = float(2 ** bitdepth - 1)
+
+    def score_one(flat_w, flat_b, idx, val, *acts):
+        fw = flat_w.at[idx].set(val) if wb == "weight" else flat_w
+        fb = flat_b.at[idx].set(val) if wb == "bias" else flat_b
+        if module == "synthesis":
+            syn_in, target = acts[0], acts[1]
+            aux = acts[2:]
+            syn = _syn_from_flat(fw, fb, cfg, list(shapes_w), list(shapes_b))
+            x = syn_in
+        else:
+            syn_w, syn_b, target = acts[0], acts[1], acts[2]
+            rest = list(acts[3:])
+            grids = rest[:n_grids]
+            rest = rest[n_grids:]
+            if has_cr:
+                cr_extra, rest = rest[0], rest[1:]
+            aux = tuple(rest)
+            ups = _ups_from_flat(fw, fb, list(shapes_w), list(shapes_b))
+            dense = upsampling_apply(ups, grids, cfg.ups_k_size,
+                                     cfg.ups_preconcat_k_size, training=False)
+            x = dense[None]
+            if has_cr:
+                x = jnp.concatenate([x, cr_extra], axis=1)
+            syn = _syn_from_flat(syn_w, syn_b, cfg, list(syn_shapes_w),
+                                 list(syn_shapes_b))
+        raw = _interp(synthesis_apply(syn, cfg, x), cfg.img_size,
+                      cfg.final_upsampling_type)
+        if frame_type == "I":
+            dec_raw = raw
+        elif role == "residue":
+            residue = raw[:, :3]
+            alpha = jnp.clip(raw[:, 3:4] + 0.5, 0.0, 1.0)
+            if frame_type == "P":
+                pred = aux[0]
+            else:
+                beta = jnp.clip(raw[:, 4:5] + 0.5, 0.0, 1.0)
+                pred = beta * aux[0] + (1.0 - beta) * aux[1]
+            dec_raw = alpha * pred + residue
+        else:  # motion: raw is the flow field(s)
+            residue_raw, refs = aux[0], aux[1:]
+            residue = residue_raw[:, :3]
+            alpha = jnp.clip(residue_raw[:, 3:4] + 0.5, 0.0, 1.0)
+            if frame_type == "P":
+                pred = warp_fn(refs[0], raw[:, 0:2], warp_filter_size,
+                               training=False)
+            else:
+                beta = jnp.clip(residue_raw[:, 4:5] + 0.5, 0.0, 1.0)
+                pred = (beta * warp_fn(refs[0], raw[:, 0:2], warp_filter_size,
+                                       training=False)
+                        + (1.0 - beta) * warp_fn(refs[1], raw[:, 2:4],
+                                                 warp_filter_size,
+                                                 training=False))
+            dec_raw = alpha * pred + residue
+        dist = _full_dist(dec_raw, target, frame_data_type, max_dyn)
+        edited = fw if wb == "weight" else fb
+        nn_bits = _expgol_rate_bits(jnp.round(edited / q), cnt)
+        return dist + lmbda * nn_bits / n_pixels
+
+    @lru_cache(maxsize=4)
+    def build(n_acts: int):
+        inner = jax.vmap(score_one, in_axes=(None, None, None, 0)
+                         + (None,) * n_acts)
+        return jax.jit(jax.vmap(inner, in_axes=(None, None, 0, 0)
+                                + (None,) * n_acts))
+
+    return lambda fw, fb, idxs, vals, *acts: build(len(acts))(
+        fw, fb, idxs, vals, *acts)
 
 
 # ---------------------------------------------------------------------------
@@ -491,16 +648,38 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
                   lmbda: float, target=None, frame_type: str = "I",
                   frame_data_type: str = "rgb", bitdepth: int = 8,
                   seed: int = 0, modules: tuple = None,
-                  verbose: bool = False) -> dict:
+                  frame_ctx: dict = None, verbose: bool = False) -> dict:
     """Refine the quantized NN params of one cool-chic decoder.
 
     target: dense [1, C, H, W] array (RGB / flow / YUV444-as-444) for the
-    synthesis scorer; pass the 444 representation for yuv420 content (the
-    scorer converts tiles to 420 and weights channels by pixel count,
-    mirroring the reference's score_syn_image)."""
+    reconstruction scorers; pass the 444 representation for yuv420 content
+    (the scorer converts tiles to 420 and weights channels by pixel count,
+    mirroring the reference's score_syn_image).
+
+    frame_ctx: fixed frame-level activations that let synthesis + upsampling
+    be scored on P/B frames and on the motion cool-chic -- the cases the
+    reference routes through its full-test() fallback (reference
+    nnquant/rdoq.py:131-137). Keys:
+      role: "residue" (default) or "motion" -- which cool-chic this is.
+      warps: for role=residue on P/B, the warped (and globally-shifted)
+        reference(s) [1,3,H,W] under the CURRENT motion, 1 for P / 2 for B.
+      other_raw: for role=motion, the fixed residue cool-chic raw output
+        [1,4|5,H,W] (residue + alpha (+ beta)).
+      refs: for role=motion, the globally-shifted reference frames.
+      warp_filter_size: for role=motion, the frame's warp filter taps.
+    With frame_ctx=None and frame_type != "I" only ARM + IFCE are refined
+    (the pre-round-5 behavior)."""
+    role = (frame_ctx or {}).get("role", "residue")
+    has_recon = target is not None and (
+        frame_type == "I"
+        or (frame_ctx is not None
+            and (("warps" in frame_ctx) if role == "residue"
+                 else ("refs" in frame_ctx and "other_raw" in frame_ctx))))
     if modules is None:
+        # reference order: sorted(modules_to_send) = arm, ifce?, synthesis,
+        # upsampling (reference nnquant/rdoq.py:68)
         modules = ("arm",) + (("ifce",) if cfg.flag_ifce else ()) + \
-            (("synthesis",) if target is not None and frame_type == "I" else ())
+            (("synthesis", "upsampling") if has_recon else ())
     rng = np.random.default_rng(seed)
     params = cc_params
 
@@ -520,7 +699,7 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
     mask_c = jnp.asarray(_pad_chunks(mask, n_chunks))
 
     for module in modules:
-        if module == "synthesis" and (target is None or frame_type != "I"):
+        if module in ("synthesis", "upsampling") and not has_recon:
             continue
         if module == "ifce" and not cfg.flag_ifce:
             continue
@@ -557,24 +736,59 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
                          if not hyper]
             from coolchic_tpu.models.upsampling import upsampling_apply
 
-            dense = upsampling_apply(params["upsampling"], syn_grids, cfg.ups_k_size,
-                                     cfg.ups_preconcat_k_size, training=False)
             cr = None
+            cr_extra = None
             if cfg.flag_common_randomness:
                 from coolchic_tpu.core.noise import common_randomness_grids
+                from coolchic_tpu.models.upsampling import fixed_upsampling
+                from coolchic_tpu.ops.resize import interpolate as _interp
 
                 cr = [jnp.asarray(g) for g in
                       common_randomness_grids(list(cfg.size_per_latent_cr))]
-            syn_in = synthesis_input(cfg, dense, cr)
-            if cfg.size_per_latent[0] != cfg.img_size:
-                # synthesis output needs a global rescale; tile scoring does
-                # not apply -- skip (reference-size configs never hit this)
-                continue
-            acts = (syn_in, jnp.asarray(np.asarray(target, np.float32)))
+                ups_noise, _ = fixed_upsampling(cr, mode="bicubic")
+                cr_extra = _interp(ups_noise, cfg.img_size, "bicubic")[None]
+            rescale = cfg.size_per_latent[0] != cfg.img_size
+            aux = ()
+            if frame_type != "I":
+                if role == "residue":
+                    aux = tuple(jnp.asarray(np.asarray(wp, np.float32))
+                                for wp in frame_ctx["warps"])
+                else:
+                    aux = ((jnp.asarray(np.asarray(frame_ctx["other_raw"],
+                                                   np.float32)),)
+                           + tuple(jnp.asarray(np.asarray(r, np.float32))
+                                   for r in frame_ctx["refs"]))
+            tgt = jnp.asarray(np.asarray(target, np.float32))
+            use_tiles = (module == "synthesis" and role == "residue"
+                         and not rescale)
+            if module == "synthesis":
+                dense = upsampling_apply(params["upsampling"], syn_grids,
+                                         cfg.ups_k_size,
+                                         cfg.ups_preconcat_k_size,
+                                         training=False)
+                # rescale + CR cannot coexist (synthesis_input concatenates
+                # at img_size); dense[None] is the rescale-case input
+                syn_in = (dense[None] if rescale
+                          else synthesis_input(cfg, dense, cr))
+                acts = (syn_in, tgt) + aux
+            else:  # upsampling: dense recomputed per candidate
+                acts = ((jnp.asarray(_flat(params, cfg, "synthesis", "weight")),
+                         jnp.asarray(_flat(params, cfg, "synthesis", "bias")),
+                         tgt)
+                        + tuple(syn_grids)
+                        + ((cr_extra,) if cr_extra is not None else ())
+                        + aux)
             import os as _os
 
-            chunk = int(_os.environ.get(
-                "COOLCHIC_RDOQ_SYN_CHUNK", 8 if n_lat > _BIG_N_LAT else 16))
+            if use_tiles:
+                chunk = int(_os.environ.get(
+                    "COOLCHIC_RDOQ_SYN_CHUNK", 8 if n_lat > _BIG_N_LAT else 16))
+            else:
+                # full-resolution lanes (upsampling / rescale / motion):
+                # each lane holds a dense stack + synthesis activations (+
+                # warps for motion), so keep chunks small on big images
+                chunk = int(_os.environ.get(
+                    "COOLCHIC_RDOQ_FULL_CHUNK", 2 if n_lat > _BIG_N_LAT else 8))
             shifts = SYN_SHIFTS
 
         for wb in ("weight", "bias"):
@@ -582,26 +796,41 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
             cnt = int(expgol[(module, wb)])
             if (flat_w if wb == "weight" else flat_b).size == 0:
                 continue
-            if module == "synthesis":
-                n_tiles = max(1, min(16, cfg.img_size[0] // 32))
-                scorer = _make_syn_scorer(cfg, wb, float(lmbda), qv, cnt,
-                                          shapes_w, shapes_b, frame_data_type,
-                                          bitdepth, n_tiles)
+            if module in ("synthesis", "upsampling"):
+                if use_tiles:
+                    n_tiles = max(1, min(16, cfg.img_size[0] // 32))
+                    scorer = _make_syn_scorer(cfg, wb, float(lmbda), qv, cnt,
+                                              shapes_w, shapes_b,
+                                              frame_data_type, bitdepth,
+                                              n_tiles, frame_type, len(aux))
+                else:
+                    syn_sw = tuple(_module_shapes(params, cfg, "synthesis",
+                                                  "weight"))
+                    syn_sb = tuple(_module_shapes(params, cfg, "synthesis",
+                                                  "bias"))
+                    scorer = _make_full_scorer(
+                        cfg, module, wb, float(lmbda), qv, cnt, shapes_w,
+                        shapes_b, syn_sw, syn_sb, frame_data_type, bitdepth,
+                        frame_type, role, len(syn_grids),
+                        cr_extra is not None, len(aux),
+                        int((frame_ctx or {}).get("warp_filter_size", 4)))
             else:
                 arm_sw = shapes_w if module == "arm" else arm_shapes_w
                 arm_sb = shapes_b if module == "arm" else arm_shapes_b
                 scorer = _make_rate_scorer(cfg, module, wb, qv, cnt, shapes_w,
                                            shapes_b, arm_sw, arm_sb, n_chunks)
-            # The synthesis sweep runs the HOST chunk loop: its one-probe
-            # program (conv tile scan x lanes) compiles and runs fine, but
-            # the all-chunks device program (lax.scan + rollback lax.cond
+            # The reconstruction sweeps (synthesis / upsampling) run the
+            # HOST chunk loop: one probe program (conv tile scan or full
+            # reconstruction x lanes) compiles and runs fine, but the
+            # all-chunks device program (lax.scan + rollback lax.cond
             # embedding THREE copies of it) OOM-kills the remote TPU
             # compiler at full image sizes (docs/tpu_rdoq_issue.md). The
             # rate-only ARM/IFCE sweeps keep the single-program device path.
             flat_w, flat_b = _sweep(scorer, flat_w, flat_b, wb, shifts, qv,
                                     acts, chunk, rng, verbose,
                                     f"{module}.{wb}",
-                                    force_host=module == "synthesis")
+                                    force_host=module in ("synthesis",
+                                                          "upsampling"))
 
         params = _set_flat(params, cfg, module, "weight", flat_w)
         params = _set_flat(params, cfg, module, "bias", flat_b)

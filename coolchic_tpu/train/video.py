@@ -285,6 +285,47 @@ def _prep_frame(frame: Frame, fdata: FrameData, is_image: bool, workdir: str,
             "refs_arg": refs_dense if frame.frame_type != "I" else None}
 
 
+def _rdoq_frame_ctx(params: dict, fcfg: FrameConfig, cc_name: str,
+                    refs_arg, cr) -> dict:
+    """Fixed frame-level activations for RDOQ's P/B reconstruction scorers
+    (nnquant/rdoq.py _make_full_scorer / the inter tile path). The other
+    cool-chic is evaluated AS-IS at this point of the quantization walk
+    (float if not yet quantized -- same interleave the nn-quantization grid
+    search already uses via its eval ctx)."""
+    from coolchic_tpu.models.coolchic import coolchic_forward
+    from coolchic_tpu.models.warp import warp_fn
+
+    # global flows shift the references as constant translations
+    # (models/frame.py:121-129)
+    refs = []
+    for i, ref in enumerate(refs_arg):
+        g = np.asarray(params[f"global_flow_{i + 1}"])
+        h, w = ref.shape[-2:]
+        jj = np.clip(np.arange(w) + int(round(float(g[0]))), 0, w - 1)
+        ii = np.clip(np.arange(h) + int(round(float(g[1]))), 0, h - 1)
+        refs.append(np.asarray(ref)[:, :, ii][:, :, :, jj])
+
+    if cc_name == "residue":
+        mo = coolchic_forward(params["motion"], fcfg.cc_cfgs["motion"],
+                              training=False,
+                              cr=None if cr is None else cr.get("motion"))
+        motion = mo.raw_out
+        warps = [np.asarray(warp_fn(jnp.asarray(refs[0]), motion[:, 0:2],
+                                    fcfg.warp_filter_size, training=False))]
+        if fcfg.frame_type == "B":
+            warps.append(np.asarray(warp_fn(jnp.asarray(refs[1]),
+                                            motion[:, 2:4],
+                                            fcfg.warp_filter_size,
+                                            training=False)))
+        return {"role": "residue", "warps": tuple(warps)}
+    res = coolchic_forward(params["residue"], fcfg.cc_cfgs["residue"],
+                           training=False,
+                           cr=None if cr is None else cr.get("residue"))
+    return {"role": "motion", "other_raw": np.asarray(res.raw_out),
+            "refs": tuple(refs),
+            "warp_filter_size": fcfg.warp_filter_size}
+
+
 def _quantize_frame(params: dict, fcfg: FrameConfig, preset: Preset, target,
                     refs_arg, cr, fdata: FrameData, monitor: EncoderMonitor,
                     rdoq: bool, verbose: bool) -> tuple[dict, dict]:
@@ -320,14 +361,26 @@ def _quantize_frame(params: dict, fcfg: FrameConfig, preset: Preset, target,
         if rdoq:
             from coolchic_tpu.nnquant.rdoq import rdoq_coolchic
 
-            rdoq_target = (_dense(fdata) if fcfg.frame_type == "I"
-                           and cc_name == "residue" else None)
+            rdoq_target = None
+            fctx = None
+            if fcfg.frame_type == "I":
+                if cc_name == "residue":
+                    rdoq_target = _dense(fdata)
+            else:
+                # P/B: synthesis + upsampling of BOTH cool-chics are scored
+                # against the full reconstruction (the reference runs these
+                # through its test() fallback, reference nnquant/rdoq.py:
+                # 131-137); the OTHER cool-chic's contribution is a fixed
+                # activation computed here
+                rdoq_target = _dense(fdata)
+                fctx = _rdoq_frame_ctx(params, fcfg, cc_name, refs_arg, cr)
             with monitor.timed("rdoq"):
                 q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name], q_shift,
                                          expgol, phase0.lmbda, target=rdoq_target,
                                          frame_type=fcfg.frame_type,
                                          frame_data_type=fdata.frame_data_type,
-                                         bitdepth=fdata.bitdepth, verbose=verbose)
+                                         bitdepth=fdata.bitdepth,
+                                         frame_ctx=fctx, verbose=verbose)
         params = dict(params)
         params[cc_name] = q_params
         nn_side_info[cc_name] = (q_shift, expgol)

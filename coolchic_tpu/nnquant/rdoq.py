@@ -41,11 +41,16 @@ from coolchic_tpu.ops.context import spatial_context
 from coolchic_tpu.ops.resize import interpolate
 
 N_SHIFTS = 15
-# ARM/IFCE probes are cheap (rate only): sweep every shift like before.
+# ARM/IFCE probes are cheap (rate only) on small images: sweep every shift.
 ARM_SHIFTS = tuple(range(-N_SHIFTS, N_SHIFTS + 1))
 # Synthesis probes run a conv stack per candidate; the reference's early
 # stop almost never walks past +-3, so probe a sparse ladder beyond it.
 SYN_SHIFTS = (-15, -7, -3, -2, -1, 0, 1, 2, 3, 7, 15)
+# Above _BIG_N_LAT the ARM/IFCE rate probes dominate the per-image RDOQ tail
+# (ARM 98 s + IFCE 51 s of a ~5 min tail at 512x768, docs/tpu_rdoq_issue.md);
+# the same sparse ladder cuts the probe count 31 -> 11 (~3x) while keeping
+# the far shifts reachable. Opt out with COOLCHIC_RDOQ_ARM_SHIFTS=full.
+ARM_SHIFTS_BIG = SYN_SHIFTS
 
 # Total probe-activation budget (bytes) for sizing the latent scan slabs:
 # the vmapped probe holds lanes x (n_lat/n_chunks x dim) context slabs, and
@@ -59,6 +64,15 @@ _LANE_BUDGET_BYTES = 256 * 1024 ** 2
 # synthesis scorer a conv tile stack per lane, neither of which the latent
 # scan slabs bound.
 _BIG_N_LAT = 200_000
+
+
+def _arm_shifts(n_lat: int) -> tuple:
+    import os
+
+    mode = os.environ.get("COOLCHIC_RDOQ_ARM_SHIFTS", "auto")
+    if mode == "full" or (mode == "auto" and n_lat <= _BIG_N_LAT):
+        return ARM_SHIFTS
+    return ARM_SHIFTS_BIG
 
 
 def _expgol_rate_bits(v: jnp.ndarray, count: int) -> jnp.ndarray:
@@ -720,7 +734,7 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
             else:
                 full_ctx = ctx_sp
             acts = (lat_c, _pad_chunks_jnp(full_ctx, n_chunks), mask_c)
-            shifts, chunk = ARM_SHIFTS, (4 if n_lat > _BIG_N_LAT else 8)
+            shifts, chunk = _arm_shifts(n_lat), (4 if n_lat > _BIG_N_LAT else 8)
         elif module == "ifce":
             arm_shapes_w = tuple(_module_shapes(params, cfg, "arm", "weight"))
             arm_shapes_b = tuple(_module_shapes(params, cfg, "arm", "bias"))
@@ -730,7 +744,7 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
                     jnp.asarray(_flat(params, cfg, "arm", "weight")),
                     jnp.asarray(_flat(params, cfg, "arm", "bias")),
                     *latents)
-            shifts, chunk = ARM_SHIFTS, (1 if n_lat > _BIG_N_LAT else 2)
+            shifts, chunk = _arm_shifts(n_lat), (1 if n_lat > _BIG_N_LAT else 2)
         else:
             syn_grids = [g for g, hyper in zip(latents, cfg.flag_is_hyperlatent)
                          if not hyper]

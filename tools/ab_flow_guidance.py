@@ -1,12 +1,16 @@
 """A/B: pyramidal-LK flow guidance vs NO guidance for inter-frame encoding
-(VERDICT r2 item 9: quantify the RAFT-substitute's value).
+(VERDICT r2 item 9 / r4 item 5: quantify the RAFT-substitute's value, and
+read the result in RD terms, not raw PSNR/bpp).
 
-Encodes frame 0 (I) of the BQSquare clip once, then frame 1 (P) twice from
-the same reference: (a) with LK-guided motion pretraining, (b) with motion
-pretraining disabled. Same budget everywhere else. Reports decoder-side
-PSNR/bpp for both arms.
+Encodes frame 0 (I) of the BQSquare clip once, then frame 1 (P) in both arms
+from the same reference: (a) with LK-guided motion pretraining, (b) with
+motion pretraining disabled. Same budget everywhere else, optionally
+averaged over several seeds. Each arm reports PSNR, bpp AND the RD loss at
+the trained lambda (10^(-psnr/10) + lmbda * bpp); the JSON carries an
+explicit `verdict` naming the RD-winning arm so the production default
+(train/video.py motion pretraining) can be held to it.
 
-Usage: python tools/ab_flow_guidance.py [--n_itr 400] [--cpu]
+Usage: python tools/ab_flow_guidance.py [--n_itr 2000] [--seeds 2] [--cpu]
 """
 
 from __future__ import annotations
@@ -26,8 +30,10 @@ VIDEO = os.path.join(HERE, "tests", "data",
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n_itr", type=int, default=400)
+    ap.add_argument("--n_itr", type=int, default=2000)
     ap.add_argument("--itr_pretrain", type=int, default=100)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="average each arm over this many encoder seeds")
     ap.add_argument("--lmbda", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="/tmp/ab_flow")
@@ -76,24 +82,41 @@ def main():
 
     results = {}
     for arm, pretrain in (("lk_guided", args.itr_pretrain), ("no_guidance", 0)):
-        wd = os.path.join(args.out, arm)
-        shutil.rmtree(wd, ignore_errors=True)
-        shutil.copytree(base_wd, wd)
-        r1 = encode_one_frame(cs.get_frame_from_coding_order(1), cs, VIDEO, wd,
-                              preset_for(args.n_itr, pretrain),
-                              {"residue": RESIDUE_OPERATING_POINTS["lop"],
-                               "motion": MOTION_OPERATING_POINTS["lop"]},
-                              verbose=False, rdoq=True)
-        bpp = 8 * len(r1["payload"]) / (224 * 128)
-        results[arm] = {"psnr_db": round(r1["logs"].psnr_db, 4),
-                        "rate_bpp": round(bpp, 5)}
-        print(f"P frame [{arm}]: {r1['logs'].psnr_db:.3f} dB {bpp:.4f} bpp",
-              flush=True)
+        runs = []
+        for seed in range(args.seeds):
+            wd = os.path.join(args.out, f"{arm}_s{seed}")
+            shutil.rmtree(wd, ignore_errors=True)
+            shutil.copytree(base_wd, wd)
+            r1 = encode_one_frame(cs.get_frame_from_coding_order(1), cs, VIDEO,
+                                  wd, preset_for(args.n_itr, pretrain),
+                                  {"residue": RESIDUE_OPERATING_POINTS["lop"],
+                                   "motion": MOTION_OPERATING_POINTS["lop"]},
+                                  seed=seed, verbose=False, rdoq=True)
+            bpp = 8 * len(r1["payload"]) / (224 * 128)
+            psnr = float(r1["logs"].psnr_db)
+            rd = 10.0 ** (-psnr / 10.0) + args.lmbda * bpp
+            runs.append({"seed": seed, "psnr_db": round(psnr, 4),
+                         "rate_bpp": round(bpp, 5), "rd_loss": rd})
+            print(f"P frame [{arm} seed {seed}]: {psnr:.3f} dB {bpp:.4f} bpp "
+                  f"rd_loss {rd:.6e}", flush=True)
+        results[arm] = {
+            "psnr_db": round(sum(r["psnr_db"] for r in runs) / len(runs), 4),
+            "rate_bpp": round(sum(r["rate_bpp"] for r in runs) / len(runs), 5),
+            "rd_loss": sum(r["rd_loss"] for r in runs) / len(runs),
+            "runs": runs}
+    better = min(results, key=lambda a: results[a]["rd_loss"])
+    margin = abs(results["lk_guided"]["rd_loss"]
+                 - results["no_guidance"]["rd_loss"]) / \
+        max(results["no_guidance"]["rd_loss"], 1e-12)
     out = {"video": os.path.basename(VIDEO), "lmbda": args.lmbda,
            "n_itr": args.n_itr, "itr_pretrain": args.itr_pretrain,
+           "seeds": args.seeds,
            "i_frame": {"psnr_db": round(r0["logs"].psnr_db, 4)},
-           "arms": results}
-    print(json.dumps(out))
+           "arms": results,
+           "verdict": {"rd_better_arm": better,
+                       "rd_margin_pct": round(100 * margin, 3)}}
+    print(json.dumps({k: v for k, v in out.items() if k != "arms"}))
+    print(json.dumps(out, default=float))
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(out, f, indent=1)

@@ -593,7 +593,9 @@ def frame_cfg_args(frame_type: str, depth: int) -> tuple[dict, dict]:
 
 def _frame_preset(frame: Frame, lmbda: float, itr_scale: float) -> tuple:
     cfg_args, sched = frame_cfg_args(frame.frame_type, frame.depth)
-    n_itr = max(int(sched["n_itr"] * itr_scale), 2000)
+    # COOLCHIC_ITR_FLOOR: smoke tests drop the production 2000-iter floor
+    floor = int(os.environ.get("COOLCHIC_ITR_FLOOR", 2000))
+    n_itr = max(int(sched["n_itr"] * itr_scale), floor)
     preset_name = "intra" if frame.frame_type == "I" else "inter"
     preset = AVAILABLE_PRESETS[preset_name](
         lmbda=lmbda * sched["lmbda_scale"], start_lr=sched["start_lr"],

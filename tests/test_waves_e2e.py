@@ -106,5 +106,9 @@ def test_wave_group_batched_matches_serial(tmp_path):
                              verbose=False, rdoq=False)
         dp = results[d]["logs"].psnr_db - r["logs"].psnr_db
         rr = results[d]["n_bytes"] / max(r["n_bytes"], 1)
-        assert abs(dp) < 1.5, (d, dp)
-        assert 0.5 < rr < 2.0, (d, rr)
+        # RD equivalence, not mere closeness (VERDICT r4 item 3): the batched
+        # window and train() share the loss, schedule and per-slot seeds;
+        # residual divergence is optimizer-noise sized even at this 50-iter
+        # CI budget, so hold it to +-0.3 dB and +-15% bytes.
+        assert abs(dp) < 0.3, (d, dp)
+        assert 0.85 < rr < 1.15, (d, rr)

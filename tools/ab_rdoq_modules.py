@@ -119,6 +119,10 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    if args.cpu:
+        # the ambient axon sitecustomize pins jax_platforms through
+        # jax.config; the env var alone does NOT stick (tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
 
     from coolchic_tpu.io.images import read_png

@@ -31,6 +31,12 @@ def main():
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    # env var alone does not stick under the axon sitecustomize
+    # (tests/conftest.py) -- without this the "host" decode contends for
+    # the remote chip claim against a running sweep
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import numpy as np
 
     from samples.encode_kodak_batch import KODIM14, build_kodak_targets

@@ -49,6 +49,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from coolchic_tpu.train.presets import TrainerPhase, Warmup, WarmupPhase
     from coolchic_tpu.train.video import encode_one_frame
     from coolchic_tpu.utils.codingstructure import CodingStructure
     from coolchic_tpu.utils.parsecli import (
@@ -66,6 +67,17 @@ def main():
                      itr_motion_pretrain=pretrain)
         p.training_phases[0].max_itr = n_itr
         p.training_phases[0].freq_valid = max(n_itr // 8, 10)
+        # Production semantics (PresetInter): a 2-candidate warm-up where
+        # only the odd candidate takes the pretrained motion, so the
+        # tournament ARBITRATES guidance per frame instead of it being
+        # forced on (train/video.py:272-281). The round-4 A/B lacked this,
+        # which is exactly the configuration where guidance can hurt.
+        p.warmup = Warmup([WarmupPhase(candidates=2, training_phase=TrainerPhase(
+            lr=1e-2, max_itr=max(n_itr // 10, 50), freq_valid=10**6,
+            patience=10**6, schedule_lr=False,
+            softround_temperature=(0.3, 0.3), noise_parameter=(2.0, 2.0),
+            quantizer_noise_type="kumaraswamy", quantizer_type="softround",
+            lmbda=args.lmbda))])
         return p
 
     os.makedirs(args.out, exist_ok=True)

@@ -160,7 +160,10 @@ def main():
 
         yuv = os.path.join(
             HERE, "tests/data/D-BQSquare-3frames_224x128_60p_yuv420_8b.yuv")
-        cs3 = CodingStructure(n_frames=3, intra_pos=[0], p_pos=[-1],
+        from coolchic_tpu.utils.parsecli import parse_frame_positions
+
+        cs3 = CodingStructure(n_frames=3, intra_pos=[0],
+                              p_pos=parse_frame_positions("-1", 3),
                               seq_name="bq3")
         # frame 0 (I) then frame 1 in coding order (P) WITHOUT rdoq; the P
         # checkpoint is the starting point for the prefix walk

@@ -810,6 +810,12 @@ def rdoq_coolchic(cc_params: dict, cfg: CoolChicConfig, q_shift: dict, expgol: d
             cnt = int(expgol[(module, wb)])
             if (flat_w if wb == "weight" else flat_b).size == 0:
                 continue
+            if module == "upsampling" and wb == "bias":
+                # upsampling biases are zero-initialized and UNUSED by the
+                # forward (models/upsampling.py upsampling_apply) -- kept
+                # only for descriptor parity. An edit can only add NN rate,
+                # so the sweep would always re-pick 0; skip the probes.
+                continue
             if module in ("synthesis", "upsampling"):
                 if use_tiles:
                     n_tiles = max(1, min(16, cfg.img_size[0] // 32))

@@ -149,6 +149,13 @@ def main():
                  nn_side_info["residue"], args.lmbda, target, "I", "rgb", 8,
                  None, fcfg, nn_side_info,
                  {"target": frame.data}, True, cs, rows, "image_I_192x128")
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:  # partial dump: part A survives a B crash
+        json.dump({"n_itr": args.n_itr, "lmbda": args.lmbda, "rows": rows}, f,
+                  indent=1)
+    for r in rows:
+        print(f"[partA] {r['modules']:34s} loss {r['loss']:.6f} "
+              f"psnr {r['psnr_db']:.3f} bytes {r['n_bytes']}", flush=True)
 
     # ---- Part B: video P frame, residue AND motion cool-chics.
     if not args.skip_video:
@@ -169,13 +176,15 @@ def main():
         # checkpoint is the starting point for the prefix walk
         from coolchic_tpu.utils.parsecli import MOTION_OPERATING_POINTS
 
-        cfg_args = {"residue": dict(INTRA_OPERATING_POINTS["lop"]),
+        from coolchic_tpu.utils.parsecli import RESIDUE_OPERATING_POINTS
+
+        cfg_args = {"residue": dict(RESIDUE_OPERATING_POINTS["lop"]),
                     "motion": dict(MOTION_OPERATING_POINTS["mop"])}
         for ci in range(2):
             fr = cs3.get_frame_from_coding_order(ci)
             t0 = time.time()
             ca = cfg_args if fr.frame_type != "I" else \
-                {"residue": cfg_args["residue"]}
+                {"residue": dict(INTRA_OPERATING_POINTS["lop"])}
             encode_one_frame(fr, cs3, yuv, args.workdir, preset, ca,
                              warp_filter_size=4, seed=0, verbose=False,
                              rdoq=False)

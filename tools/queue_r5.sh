@@ -2,6 +2,10 @@
 # Round-5 TPU job queue: waits for the kodak sweep (PID $1) to release the
 # chip, then runs the remaining VERDICT-item jobs back to back under the
 # chip lock, each bounded by a timeout. Logs land in results/round5/.
+#
+# Budgets: frame_cfg_args uses production 10k-iter schedules; itr_scale 0.5
+# keeps the wall-clock inside the round while staying production-shaped
+# (the 2000-iter COOLCHIC_ITR_FLOOR still applies).
 set -u
 SWEEP_PID="${1:-0}"
 cd /root/repo
@@ -20,15 +24,15 @@ JAX_PLATFORMS=cpu timeout 3000 python tools/verify_sweep_tsv.py \
     > $R5/kodak/verify.log 2>&1 &
 VERIFY_PID=$!
 
-echo "[queue] 1/4 waves wallclock $(date)"
-timeout 3600 $LOCK python tools/waves_wallclock.py --itr_scale 1.0 \
-    --json_out $R5/waves_wallclock.json > $R5/waves_wallclock.log 2>&1
-echo "[queue] waves rc=$? $(date)"
-
-echo "[queue] 2/4 flow guidance A/B $(date)"
+echo "[queue] 1/4 flow guidance A/B $(date)"
 timeout 4200 $LOCK python tools/ab_flow_guidance.py --n_itr 2000 --seeds 2 \
     --json_out $R5/ab_flow_guidance.json > $R5/ab_flow_guidance.log 2>&1
 echo "[queue] flow rc=$? $(date)"
+
+echo "[queue] 2/4 waves wallclock $(date)"
+timeout 4800 $LOCK python tools/waves_wallclock.py --itr_scale 0.5 \
+    --json_out $R5/waves_wallclock.json > $R5/waves_wallclock.log 2>&1
+echo "[queue] waves rc=$? $(date)"
 
 echo "[queue] 3/4 wasserstein matched A/B $(date)"
 timeout 4200 $LOCK python tools/ab_wasserstein_matched.py --n_itr 2000 \
@@ -36,8 +40,8 @@ timeout 4200 $LOCK python tools/ab_wasserstein_matched.py --n_itr 2000 \
 echo "[queue] wasserstein rc=$? $(date)"
 
 echo "[queue] 4/4 17-frame hier-B GOP $(date)"
-timeout 5400 $LOCK python tools/encode_gop17.py --out $R5/gop17 \
-    > $R5/gop17.log 2>&1
+timeout 5400 $LOCK python tools/encode_gop17.py --itr_scale 0.5 \
+    --out $R5/gop17 > $R5/gop17.log 2>&1
 echo "[queue] gop17 rc=$? $(date)"
 
 wait $VERIFY_PID 2>/dev/null

@@ -18,11 +18,7 @@ if [ "$SWEEP_PID" -gt 0 ]; then
     echo "[queue] sweep done at $(date)"
 fi
 
-# CPU-side decoder verification of the sweep output (no chip needed).
-JAX_PLATFORMS=cpu timeout 3000 python tools/verify_sweep_tsv.py \
-    --tsv $R5/kodak/image-kodak-batch.tsv --dir $R5/kodak --n_images 6 \
-    > $R5/kodak/verify.log 2>&1 &
-VERIFY_PID=$!
+# (decoder verification of the sweep runs in the sweep chain itself)
 
 echo "[queue] 1/4 flow guidance A/B $(date)"
 timeout 4200 $LOCK python tools/ab_flow_guidance.py --n_itr 2000 --seeds 2 \
@@ -44,5 +40,4 @@ timeout 5400 $LOCK python tools/encode_gop17.py --itr_scale 0.5 \
     --out $R5/gop17 > $R5/gop17.log 2>&1
 echo "[queue] gop17 rc=$? $(date)"
 
-wait $VERIFY_PID 2>/dev/null
 echo "[queue] all done $(date)"

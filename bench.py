@@ -268,17 +268,25 @@ def host_extras(extra: dict) -> dict:
             paths = [os.path.join(here,
                                   "results/round3/kodak/image-kodak-batch.tsv")]
         rows = []
+        contributed = set()
         for tsv in paths:
             with open(tsv) as f:
-                rows.extend(csv.DictReader(f, delimiter="\t"))
-        rnd = "r5" if len(paths) > 1 else ("r4" if "round4" in paths[0] else "r3")
-        # One throughput sample per CHUNK (rows of a chunk share chunk_s).
+                file_rows = list(csv.DictReader(f, delimiter="\t"))
+            if file_rows:
+                contributed.add("r5" if "round5" in tsv else
+                                ("r4" if "round4" in tsv else "r3"))
+            rows.extend(file_rows)
+        # label by the NEWEST round that actually contributed rows
+        rnd = max(contributed) if contributed else "r0"
+        # One throughput sample per CHUNK (rows of a chunk share chunk_s,
+        # written at 0.1 s precision -- img_per_s_chunk's 4 decimals can
+        # collide across similar-duration chunks).
         chunks: list[dict] = []
         for r in rows:
-            v = float(r["img_per_s_chunk"])
-            if not chunks or abs(v - chunks[-1]["img_per_s"]) > 1e-12:
-                chunks.append({"img_per_s": v, "chunk_s": float(r["chunk_s"]),
-                               "lmbda": float(r["lmbda"])})
+            t = float(r["chunk_s"])
+            if not chunks or abs(t - chunks[-1]["chunk_s"]) > 1e-9:
+                chunks.append({"img_per_s": float(r["img_per_s_chunk"]),
+                               "chunk_s": t, "lmbda": float(r["lmbda"])})
         # WARM chunks: drop the first chunk of each encoder-gain group (the
         # lambda-adaptive gain is a static config, so each group's first
         # chunk pays the remote window + RDOQ compiles for that gain).
@@ -358,8 +366,14 @@ def host_extras(extra: dict) -> dict:
     # reference encoder's decoder-verified kodim14full runs at the SAME
     # lambda / budget (results/round{3,4}/ref/). VERDICT r4 item 1.
     try:
+        import sys as _sys
+
         here = os.path.dirname(os.path.abspath(__file__))
         from coolchic_tpu.utils.results import bd_rate
+
+        if os.path.join(here, "tools") not in _sys.path:
+            _sys.path.insert(0, os.path.join(here, "tools"))
+        from report_h2h_fullsize import REF_RUNS  # single source of ref runs
 
         ours = {}
         with open(os.path.join(
@@ -367,18 +381,20 @@ def host_extras(extra: dict) -> dict:
             hdr = f.readline().strip().split("\t")
             for ln in f:
                 r = dict(zip(hdr, ln.strip().split("\t")))
-                if r["seq_name"] == "kodim14_p012":
+                # decode-gate: only decoder-verified rows (ok=1) may feed
+                # the headline BD-rate
+                if r["seq_name"] == "kodim14_p012" and r.get("ok", "1") == "1":
                     ours[float(r["lmbda"])] = (float(r["rate_bpp"]),
                                                float(r["psnr_db_dec"]))
         ref = {}
-        for rnd_dir, lam_s in (("round3", "1e-3"), ("round4", "4e-3"),
-                               ("round4", "2e-2")):
-            p = os.path.join(here, f"results/{rnd_dir}/ref/kodim14full_l{lam_s}/"
-                                   "0000-results_decoder.tsv")
+        for lam, d in REF_RUNS.items():
+            p = os.path.join(here, d, "0000-results_decoder.tsv")
+            if not os.path.exists(p):
+                continue
             with open(p) as f:
                 f.readline()
                 _, psnr, bpp = f.readline().split()[:3]
-            ref[float(lam_s)] = (float(bpp), float(psnr))
+            ref[lam] = (float(bpp), float(psnr))
         lams = sorted(set(ours) & set(ref))
         if len(lams) >= 3:
             extra["bd_rate_fullsize_3pt_vs_ref_pct"] = round(bd_rate(

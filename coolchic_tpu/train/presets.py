@@ -86,16 +86,29 @@ class PresetIntra(Preset):
 
     def __post_init__(self):
         self.preset_name = "intra"
-        if self.itr_main_training < 2000:
-            raise ValueError("intra preset requires --n_itr >= 2000")
+        # COOLCHIC_ITR_FLOOR (train/video.py _frame_preset) lets smoke runs
+        # go below the production minimum; the guard must follow it or an
+        # I frame aborts every sub-2000-iteration GOP smoke test
+        import os as _os
+
+        floor = min(2000, int(_os.environ.get("COOLCHIC_ITR_FLOOR", 2000)))
+        if self.itr_main_training < floor:
+            raise ValueError(f"intra preset requires --n_itr >= {floor}")
 
         init_noise_level = _intra_warmup_noise_level(self.lmbda)
 
-        iter_ste_training = 500
+        # production keeps the 500-iteration STE tail; smoke budgets under
+        # the relaxed floor scale it down so the core phase stays positive
+        iter_ste_training = (500 if self.itr_main_training >= 2000
+                             else max(self.itr_main_training // 5, 1))
         iter_core_training = self.itr_main_training - iter_ste_training
 
         wu_n_iter = 400
-        if self.itr_main_training < 4000:
+        if self.itr_main_training < 2000:
+            # relaxed-floor smoke budgets: the 7x warm-up deduction below
+            # must not drive the core phase negative
+            wu_n_iter = max(self.itr_main_training // 10, 1)
+        elif self.itr_main_training < 4000:
             wu_n_iter = 50
         elif self.itr_main_training < 9000:
             wu_n_iter = 100

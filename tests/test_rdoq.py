@@ -258,7 +258,7 @@ def test_rdoq_inter_frame_residue_and_motion():
         params[cc_name] = _grid_quantize(params[cc_name], cfg, modules, q_shift)
         before = score(params, cc_name, q_shift, expgol)
         fctx = _rdoq_frame_ctx(params, fcfg, cc_name, [ref], None)
-        assert fctx["role"] == cc_name if cc_name == "motion" else True
+        assert fctx["role"] == cc_name
         refined = rdoq_coolchic(params[cc_name], cfg, q_shift, dict(expgol),
                                 5e-3, target=target, frame_type="P",
                                 frame_ctx=fctx, modules=modules, seed=2)

@@ -139,6 +139,10 @@ def main():
         INTRA_OPERATING_POINTS["lop"], frame.img_size)}
     preset = PresetDebug(lmbda=args.lmbda, start_lr=1e-2,
                          itr_main_training=args.n_itr)
+    # PresetDebug hardcodes a 50+10 schedule and ignores itr_main_training;
+    # apply the requested budget to the first phase so --n_itr is honest
+    preset.training_phases[0].max_itr = args.n_itr
+    preset.training_phases[0].freq_valid = max(args.n_itr // 4, 10)
     t0 = time.time()
     params, fcfg, nn_side_info, _ = encode_image(
         frame, cfgs, preset, seed=0, verbose=False, rdoq=False)

@@ -38,13 +38,18 @@ def make_clip(out_dir: str, n_frames: int = 17) -> str:
     raw = open(VIDEO3, "rb").read()
     assert len(raw) == 3 * FRAME_BYTES
     frames = [raw[i * FRAME_BYTES:(i + 1) * FRAME_BYTES] for i in range(3)]
-    # ping-pong index: 0,1,2,1,0,1,2,...
+    # period-6 ping-pong with repeated turnaround: 0,1,2,2,1,0,0,1,2,...
+    # Every step is a real +-1 (or dwell) transition AND the period does not
+    # divide the GOP length 16, so the P anchor at display 16 (idx 16%6=4 ->
+    # frame 1) encodes genuinely different pixels than its I reference at
+    # display 0 (frame 0) -- a period-4 ping-pong would make them identical
+    # and turn the P frame into a degenerate copy case.
+    pat = [0, 1, 2, 2, 1, 0]
     path = os.path.join(out_dir,
                         f"D-BQSquare-{n_frames}frames_224x128_60p_yuv420_8b.yuv")
     with open(path, "wb") as f:
         for i in range(n_frames):
-            k = i % 4
-            f.write(frames[k if k < 3 else 1])
+            f.write(frames[pat[i % 6]])
     return path
 
 

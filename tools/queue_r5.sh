@@ -21,22 +21,22 @@ fi
 # (decoder verification of the sweep runs in the sweep chain itself)
 
 echo "[queue] 1/4 flow guidance A/B $(date)"
-timeout 4200 $LOCK python tools/ab_flow_guidance.py --n_itr 2000 --seeds 2 \
+$LOCK timeout 4200 python tools/ab_flow_guidance.py --n_itr 2000 --seeds 2 \
     --json_out $R5/ab_flow_guidance.json > $R5/ab_flow_guidance.log 2>&1
 echo "[queue] flow rc=$? $(date)"
 
 echo "[queue] 2/4 waves wallclock $(date)"
-timeout 4800 $LOCK python tools/waves_wallclock.py --itr_scale 0.5 \
+$LOCK timeout 4800 python tools/waves_wallclock.py --itr_scale 0.5 \
     --json_out $R5/waves_wallclock.json > $R5/waves_wallclock.log 2>&1
 echo "[queue] waves rc=$? $(date)"
 
 echo "[queue] 3/4 wasserstein matched A/B $(date)"
-timeout 4200 $LOCK python tools/ab_wasserstein_matched.py --n_itr 2000 \
+$LOCK timeout 4200 python tools/ab_wasserstein_matched.py --n_itr 2000 \
     --out $R5/ab_wasserstein_matched.json > $R5/ab_wasserstein.log 2>&1
 echo "[queue] wasserstein rc=$? $(date)"
 
 echo "[queue] 4/4 17-frame hier-B GOP $(date)"
-timeout 5400 $LOCK python tools/encode_gop17.py --itr_scale 0.5 \
+$LOCK timeout 5400 python tools/encode_gop17.py --itr_scale 0.5 \
     --out $R5/gop17 > $R5/gop17.log 2>&1
 echo "[queue] gop17 rc=$? $(date)"
 

@@ -138,14 +138,17 @@ def _make_batched(fns, mesh):
 
 
 def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose,
-                   lmbda_b=None, noise_b=None, refs_b=None):
+                   lmbda_b=None, noise_b=None, refs_b=None, keys_b=None):
     """One training phase over the image batch; returns best params per image.
     `lmbda_b` (optional [n] vector) gives each batch slot its own rate point —
     λ is traced, so mixed-λ batches share one compile. `noise_b` (optional
     [n, 2] (start, end) rows) overrides phase.noise_parameter per slot, so
     mixed-λ warm-up keeps the reference's λ-derived noise level per slot.
     `refs_b` (optional list of [n, 1, C, H, W]) gives each slot its decoded
-    reference frames — inter-frame slots of one GOP wave batch together."""
+    reference frames — inter-frame slots of one GOP wave batch together.
+    `keys_b` (optional [n, 2] uint32) pins each slot's PRNG key: the GOP wave
+    path passes per-FRAME keys so a frame trains with the same key stream
+    whether it rides a wave batch or the serial (n=1) path."""
     from coolchic_tpu.train.train import init_opt_state
 
     n = targets_b.shape[0] if not isinstance(targets_b, dict) \
@@ -173,7 +176,8 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
     opt1 = init_opt_state(_index(params_b, 0), fns["hp_weight"], fns["hp_latent"])
     opt_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n,) + x.shape).copy(), opt1)
-    keys = jax.random.split(key, n)
+    keys = (jnp.asarray(keys_b) if keys_b is not None
+            else jax.random.split(key, n))
 
     if refs_b is not None:
         refs_b = [jnp.asarray(r, jnp.float32) for r in refs_b]
@@ -188,8 +192,13 @@ def _batched_phase(params_b, targets_b, fcfg, phase, key, mesh, monitor, verbose
 
         temp0 = jnp.float32(_ls(phase.softround_temperature, 0, phase.max_itr))
         noise0 = jnp.asarray(noise_b[:, 0], jnp.float32)
-        key, sub = jax.random.split(key)
-        seed_keys = jax.random.split(sub, n)
+        if keys_b is not None:
+            # per-slot determinism: derive the SOAP-seeding key from each
+            # slot's own key, independent of batch composition
+            seed_keys = jax.vmap(lambda k: jax.random.fold_in(k, 13))(keys)
+        else:
+            key, sub = jax.random.split(key)
+            seed_keys = jax.random.split(sub, n)
         grads_b = jax.jit(jax.vmap(
             fns["grad_fn_lam"],
             in_axes=(0, 0, None, 0, 0, 0, None, 0)))(
@@ -343,6 +352,10 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
     results = []
     cs = CodingStructure(n_frames=1, intra_pos=[0])
     for i in range(n):
+        if verbose:
+            # heartbeat: the quantize+RDOQ tail is otherwise silent for
+            # minutes, and the stall watchdog keys on log mtime
+            print(f"image {i}: quantize+rdoq tail...", flush=True)
         params = _index(params_b, i)
         params = jax.tree_util.tree_map(np.asarray, params)
         target = _target_from_frame(frames[i])
@@ -379,7 +392,7 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
                     q_params = rdoq_coolchic(q_params, fcfg.cc_cfgs[cc_name],
                                              q_shift, expgol, lam_i,
                                              target=rdoq_target,
-                                             frame_type="I", verbose=False)
+                                             frame_type="I", verbose=verbose)
             params = dict(params)
             params[cc_name] = q_params
             nn_side_info[cc_name] = (q_shift, expgol)

@@ -158,12 +158,44 @@ def encode_one_frame(frame: Frame, coding_structure: CodingStructure, video_path
     else:
         params = candidates[0]
 
-    for idx, phase in enumerate(preset.training_phases):
-        key, sub = jax.random.split(key)
-        with monitor.timed(f"train_phase_{idx}"):
-            params = train(params, fcfg, target, phase, refs=refs_arg, cr=cr,
-                           key=sub, monitor=monitor, verbose=verbose,
-                           spatial_mesh=sp_mesh)
+    # The serial path runs the SAME batched window as the GOP wave path at
+    # n=1 with the frame's own key stream (_frame_phase_key), so a frame
+    # trains identically whether it rides a wave batch slot or is encoded
+    # alone -- the wave feature's RD equivalence holds by construction
+    # (tests/test_waves_e2e.py). train() remains for spatially-sharded
+    # frames and common-randomness configs (the batched window carries no
+    # cr), or COOLCHIC_SERIAL_TRAINER=train.
+    use_batched = (sp_mesh is None
+                   and (cr is None or all(v is None for v in cr.values()))
+                   and os.environ.get("COOLCHIC_SERIAL_TRAINER",
+                                      "batched") != "train")
+    if use_batched:
+        import dataclasses
+
+        from coolchic_tpu.parallel.encode_batch import (_batched_phase,
+                                                        _index, _stack)
+
+        canon = dataclasses.replace(
+            fcfg, frame_display_index=0,
+            index_references=tuple(range(len(fcfg.index_references))))
+        params_b = _stack([params])
+        targets_b = _stack([target])
+        refs_b = (None if refs_arg is None
+                  else [jnp.stack([r]) for r in refs_arg])
+        for idx, phase in enumerate(preset.training_phases):
+            kb = _frame_phase_key(seed, frame.display_order, idx)[None]
+            with monitor.timed(f"train_phase_{idx}"):
+                params_b, _ = _batched_phase(
+                    params_b, targets_b, canon, phase, jax.random.PRNGKey(0),
+                    None, monitor, verbose, refs_b=refs_b, keys_b=kb)
+        params = jax.tree_util.tree_map(np.asarray, _index(params_b, 0))
+    else:
+        for idx, phase in enumerate(preset.training_phases):
+            key, sub = jax.random.split(key)
+            with monitor.timed(f"train_phase_{idx}"):
+                params = train(params, fcfg, target, phase, refs=refs_arg,
+                               cr=cr, key=sub, monitor=monitor,
+                               verbose=verbose, spatial_mesh=sp_mesh)
 
     if sp_mesh is not None:
         # gather the (tiny) trained pytree back to one device so the
@@ -283,6 +315,14 @@ def _prep_frame(frame: Frame, fdata: FrameData, is_image: bool, workdir: str,
     return {"cfgs": cfgs, "fcfg": fcfg, "target": target, "cr": cr,
             "monitor": monitor, "key": key, "candidates": candidates,
             "refs_arg": refs_dense if frame.frame_type != "I" else None}
+
+
+def _frame_phase_key(seed: int, display_order: int, phase_idx: int):
+    """Per-(frame, phase) training key, independent of batch composition:
+    the serial path and the GOP wave path both use it, so a frame's main
+    training is the same computation either way."""
+    return jax.random.fold_in(
+        jax.random.PRNGKey(seed + 1000 * display_order), 7919 + phase_idx)
 
 
 def _rdoq_frame_ctx(params: dict, fcfg: FrameConfig, cc_name: str,
@@ -542,13 +582,17 @@ def encode_wave_group(group: list[Frame], coding_structure: CodingStructure,
         n_refs = len(todo[0][1]["refs_arg"])
         refs_b = [jnp.stack([prep["refs_arg"][j] for _, prep in todo])
                   for j in range(n_refs)]
-    key = jax.random.PRNGKey(seed + 7919)
     for idx, phase in enumerate(preset.training_phases):
-        key, sub = jax.random.split(key)
+        # per-FRAME keys (not a wave-level stream): slot i trains with the
+        # same key it would get on the serial path (_frame_phase_key), so
+        # wave batching does not change any frame's training
+        keys_b = jnp.stack([_frame_phase_key(seed, frame.display_order, idx)
+                            for frame, _ in todo])
         t0 = time.time()
         with monitor.timed(f"wave_train_phase_{idx}"):
-            params_b, _ = _batched_phase(params_b, targets_b, canon, phase, sub,
-                                         None, monitor, verbose, refs_b=refs_b)
+            params_b, _ = _batched_phase(params_b, targets_b, canon, phase,
+                                         jax.random.PRNGKey(0), None, monitor,
+                                         verbose, refs_b=refs_b, keys_b=keys_b)
         if verbose:
             print(f"wave phase {idx} ({len(todo)} frames) done in "
                   f"{time.time() - t0:.1f}s", flush=True)

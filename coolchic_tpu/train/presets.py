@@ -193,7 +193,13 @@ class PresetInter(Preset):
 
 
 class PresetDebug(Preset):
-    """Very fast schedule, for testing the plumbing only."""
+    """Very fast schedule, for testing the plumbing only.
+
+    NOTE: the schedule is FIXED at 50+10 iterations; `itr_main_training` is
+    deliberately ignored so `--recipe debug` stays fast regardless of the
+    CLI's 10k default. A tool that wants a debug-shaped preset at a real
+    budget must override `training_phases[0].max_itr` itself (see
+    tools/ab_rdoq_modules.py)."""
 
     def __post_init__(self):
         self.preset_name = "debug"

@@ -257,6 +257,7 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
                           preset: Preset, out_paths: Sequence[str], *,
                           mesh=None, seed: int = 0, verbose: bool = True,
                           rdoq: bool = True, profile: str = "ref",
+                          on_image=None,
                           lmbdas: Optional[Sequence[float]] = None) -> list[dict]:
     """Encode N same-sized I-frames as one batched program; write one
     bitstream per image. Returns per-image result dicts.
@@ -411,6 +412,8 @@ def encode_images_batched(frames: Sequence[FrameData], cfgs: dict[str, CoolChicC
             "n_bytes": len(payload),
             "n_pixels": n_pixels,
         })
+        if on_image is not None:
+            on_image(i, results[-1])
         if verbose:
             print(f"image {i}: psnr {logs.psnr_db:.3f} dB, "
                   f"{results[-1]['rate_bpp']:.4f} bpp -> {out_paths[i]}", flush=True)

@@ -195,11 +195,32 @@ def main():
                 outs = [os.path.join(args.out, f"{n_}_l{lm:g}.cool")
                         for n_, lm in zip(cnames, clams)]
                 t0 = time.time()
+
+                # crash-resilient side rows, flushed per IMAGE: a tunnel
+                # hang later in the chunk must not lose completed images'
+                # verification rows (the batch TSV stays authoritative for
+                # throughput; tools/recover_sweep_tsv.py covers older logs)
+                side = os.path.join(args.out, "image-kodak-rows.tsv")
+                if not os.path.exists(side):
+                    with open(side, "w") as sf:
+                        sf.write("lmbda\tseq_name\tpsnr_db\trate_bpp\t"
+                                 "n_bytes\tn_pixels\tchunk_s\t"
+                                 "img_per_s_chunk\n")
+
+                def on_image(i, r, _names=cnames, _lams=clams, _t0=t0):
+                    el = time.time() - _t0
+                    with open(side, "a") as sf:
+                        sf.write(f"{_lams[i]:g}\t{_names[i]}\t"
+                                 f"{r['psnr_db']:.4f}\t{r['rate_bpp']:.6f}\t"
+                                 f"{r['n_bytes']}\t{r['n_pixels']}\t"
+                                 f"{el:.1f}\t0.0000\n")
+
                 res = encode_images_batched(chunk, g_cfgs, preset, outs,
                                             seed=sl[0][0], verbose=True,
                                             rdoq=not args.no_rdoq,
                                             profile=args.profile,
-                                            lmbdas=clams)
+                                            lmbdas=clams,
+                                            on_image=on_image)
                 dt = time.time() - t0
                 for r, n_, lm in zip(res, cnames, clams):
                     f.write(f"{lm:g}\t{n_}\t{r['psnr_db']:.4f}\t"
